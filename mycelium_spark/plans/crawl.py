@@ -1,0 +1,375 @@
+"""Crawl engine: the per-URL lifecycle (SURVEY.md §2.5) as a per-round DAG.
+
+The reference's event-loop state machine (IDLE→ROBOTS→NEXT→HEAD→CONTENT,
+crawler.cc:860-1064) collapses into deterministic batch rounds:
+
+    frontier ──politeness budget──▶ scheduled
+      scheduled ⋈ broadcast(robots_rules) ──allow filter──▶ allowed
+      allowed ⋈ pages (on normalized url) ──"HEAD+GET"──▶ fetched
+      fetched ──content-type + 1 MiB cap──▶ extract UDF ──▶ docs, links
+      links ∖ seen ──Bloom prefilter + exact anti-join──▶ next frontier
+
+Parity mapping:
+* robots gate: allowed iff no robots row / NOT_AVAILABLE / EPARSE
+  ("tried_but_failed" ⇒ allowed, Robots.hh:189-192) or PRESENT and
+  ``path_allowed(ua, url.path())`` — path only, no query (crawler.cc:1041);
+* the HEAD probe (crawler.cc:1163-1204) disappears: Parquet/Iceberg column
+  pruning reads only the metadata columns until ``html`` is needed (P5);
+* the 1 MiB content cap (crawler.cc:55,579-583) is a length filter;
+* disallowed URLs are popped without fetch (crawler.cc:1051-1058) — they
+  enter the seen set but produce no doc;
+* docs is append-only with last-write-wins-by-(url, round) read semantics —
+  the Mongo upsert (Doc.cc:79) becomes Iceberg MERGE at scale, or
+  ``row_number() OVER (PARTITION BY url ORDER BY round DESC) = 1`` on read.
+
+Checkpoint/resume: every table commit is an atomic snapshot (see
+sources/catalog.py); the round counter lives in the frontier table's
+snapshot metadata. Kill the driver between rounds and a new engine resumes
+from the last committed round with identical results.
+
+Scale notes (10^10 frontier, 1000 executors): frontier and seen are
+hash-distributed by url; the frontier⋈pages join shuffles on url (AQE
+handles skew); robots_rules and per-round host counts broadcast; the
+extract stage repartitions by (host-bucket, salt) for politeness affinity;
+per-partition lineage rows go to the metrics table every round.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions.robots import Robots, RobotsState, robots_state_for
+from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series, url_parts_frame, URL_PARTS_TYPE
+from ..operators.frontier import assign_seq, politeness_schedule, with_worker_bucket
+from ..operators.seen import BloomSeen, new_urls
+from ..sources.catalog import Catalog
+
+DEFAULT_UA = "mycelium web crawler - https://github.com/larroy/mycelium"  # crawler.cc:294
+CONTENT_SIZE_LIMIT = 1 << 20  # crawler.cc:55
+
+
+def parse_robots_rows(pdf_iter, exact_match: bool):
+    """mapInPandas kernel: (host, status, robots_txt) → (host, state, groups_json)."""
+    for pdf in pdf_iter:
+        states, groups = [], []
+        for status, txt in zip(pdf["status"], pdf["robots_txt"]):
+            state, robots = robots_state_for(
+                int(status), txt.encode() if isinstance(txt, str) else txt, exact_match
+            )
+            states.append(int(state))
+            if robots is None:
+                groups.append(None)
+            else:
+                groups.append(
+                    json.dumps(
+                        [
+                            {
+                                "ua": [u.decode("latin-1") for u in g.ua],
+                                "rules": [[int(t), r.decode("latin-1")] for t, r in g.rules],
+                            }
+                            for g in robots.groups
+                        ]
+                    )
+                )
+        yield pd.DataFrame({"host": pdf["host"], "state": states, "groups_json": groups})
+
+
+def _robots_from_json(groups_json: str, exact_match: bool) -> Robots:
+    r = Robots(exact_match=exact_match)
+    from ..functions.robots import UasRules
+
+    for g in json.loads(groups_json):
+        gr = UasRules()
+        gr.ua = [u.encode("latin-1") for u in g["ua"]]
+        gr.rules = [(t, p.encode("latin-1")) for t, p in g["rules"]]
+        r.groups.append(gr)
+    return r
+
+
+class CrawlEngine:
+    """Iterative batch crawler over a pages table (the network replacement)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        robots_fixtures: DataFrame | None = None,
+        user_agent: str = DEFAULT_UA,
+        per_host_budget: int = 8,
+        n_buckets: int = 32,
+        exact_robots: bool = True,
+        use_bloom: bool = True,
+        bloom_bits: int = 1 << 22,
+    ):
+        self.spark = spark
+        self.cat = Catalog(spark, workdir)
+        self.pages = pages
+        self.user_agent = user_agent
+        self.per_host_budget = per_host_budget
+        self.n_buckets = n_buckets
+        self.exact_robots = exact_robots
+        self.bloom = BloomSeen(bloom_bits) if use_bloom else None
+        self._udfs_ready = False
+        # robots_rules: parsed + cached + broadcast at gate time
+        if robots_fixtures is not None:
+            from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("host", StringType()),
+                    StructField("state", IntegerType()),
+                    StructField("groups_json", StringType()),
+                ]
+            )
+            exact = exact_robots
+            self.robots_rules = robots_fixtures.mapInPandas(
+                lambda it: parse_robots_rows(it, exact), schema
+            ).cache()
+        else:
+            self.robots_rules = None
+        # resume support: rebuild the Bloom from the committed seen table
+        if self.bloom is not None and self.cat.exists("seen"):
+            seen = self.cat.read("seen")
+            if seen is not None:
+                self.bloom.add_df(seen, "url")
+
+    # --- seeding (S1 ingest parity: absolute + http only, crawler.cc:1297) ---
+    def seed(self, seed_rows: list[tuple[int, str]]) -> int:
+        """seed_rows: (seq, url_raw). Returns number of accepted seeds."""
+        spark = self.spark
+        raw = spark.createDataFrame(seed_rows, ["in_seq", "url_raw"])
+        parts_udf = F.pandas_udf(url_parts_frame, URL_PARTS_TYPE)
+        norm_udf = F.pandas_udf(normalize_url_series, "string")
+        parsed = (
+            raw.withColumn("p", parts_udf("url_raw"))
+            .filter(F.col("p.valid") & (F.col("p.scheme") == "http"))
+            .withColumn("url", norm_udf("url_raw"))
+            .filter(F.col("url").isNotNull())
+            # host from the NORMALIZED url (the raw-case host is only the
+            # classifier's queueing key; robots/fetch key on normalized)
+            .withColumn("host", parts_udf("url").getField("host"))
+            .select("url", "host", F.col("in_seq"))
+        )
+        # classifier never dedups, but frontier-as-set does (engine semantics:
+        # identical final docs, deduped fetches — documented divergence)
+        fresh = new_urls(parsed, self.cat.read("seen"), None, "url")
+        fresh = fresh.dropDuplicates(["url"])
+        frontier = assign_seq(fresh.select("url", "host", "in_seq"), ["in_seq"], 0).drop(
+            "in_seq"
+        )
+        n = frontier.count()
+        self.cat.commit(
+            "frontier", frontier, mode="overwrite", meta={"round": 0, "next_seq": n, "rows": n}
+        )
+        return n
+
+    @property
+    def round(self) -> int:
+        return int(self.cat.meta("frontier").get("round", 0))
+
+    def _robots_gate(self, scheduled: DataFrame) -> tuple[DataFrame, DataFrame]:
+        if self.robots_rules is None:
+            return scheduled, scheduled.limit(0)
+        exact = self.exact_robots
+        ua = self.user_agent
+
+        def allowed_fn(paths: pd.Series, states: pd.Series, groups: pd.Series) -> pd.Series:
+            cache: dict[str, Robots] = {}
+            out = []
+            for path, state, gj in zip(paths, states, groups):
+                if state is None or pd.isna(state):
+                    out.append(True)  # no robots row → EMPTY → fetch proceeds
+                    continue
+                state = int(state)
+                if state in (int(RobotsState.NOT_AVAILABLE), int(RobotsState.EPARSE)):
+                    out.append(True)  # tried_but_failed ⇒ allowed
+                elif state == int(RobotsState.PRESENT):
+                    if gj is None:
+                        out.append(True)
+                        continue
+                    robots = cache.get(gj)
+                    if robots is None:
+                        robots = _robots_from_json(gj, exact)
+                        cache[gj] = robots
+                    out.append(robots.path_allowed(ua, path))
+                else:
+                    out.append(True)
+            return pd.Series(out)
+
+        allowed_udf = F.pandas_udf(allowed_fn, BooleanType())
+        parts_udf = F.pandas_udf(url_parts_frame, URL_PARTS_TYPE)
+        gated = (
+            scheduled.join(F.broadcast(self.robots_rules), "host", "left")
+            .withColumn("path", parts_udf("url").getField("path"))
+            .withColumn("allowed", allowed_udf("path", "state", "groups_json"))
+            .drop("state", "groups_json", "path")
+        )
+        return gated.filter(F.col("allowed")).drop("allowed"), gated.filter(
+            ~F.col("allowed")
+        ).drop("allowed")
+
+    def run_round(self) -> dict:
+        """Execute one crawl round; returns stats. No-op if frontier empty."""
+        r = self.round
+        meta = self.cat.meta("frontier")
+        next_seq = int(meta.get("next_seq", 0))
+        if int(meta.get("rows", -1)) == 0:
+            return {"round": r, "scheduled": 0, "done": True}
+        frontier = self.cat.read("frontier")
+        if frontier is None:
+            return {"round": r, "scheduled": 0, "done": True}
+        frontier = frontier.cache()
+
+        # 1. politeness budget
+        scheduled, deferred = politeness_schedule(frontier, self.per_host_budget)
+        scheduled = scheduled.cache()
+
+        # 2. robots gate
+        allowed, disallowed = self._robots_gate(scheduled)
+
+        # 3. "fetch": join against pages on normalized url; HEAD folds into
+        # column pruning; politeness affinity + hot-host salting
+        allowed = with_worker_bucket(allowed, self.n_buckets)
+        fetched = allowed.join(self.pages, "url", "left")
+
+        extract_udf = F.pandas_udf(extract_frame, EXTRACT_TYPE)
+        fetched = fetched.withColumn("html_len", F.octet_length("html"))
+        ok = fetched.filter(
+            F.col("html").isNotNull() & (F.col("html_len") <= CONTENT_SIZE_LIMIT)
+        )
+        missing = fetched.filter(F.col("html").isNull())
+        toobig = fetched.filter(
+            F.col("html").isNotNull() & (F.col("html_len") > CONTENT_SIZE_LIMIT)
+        )
+
+        # 4. extract (the §2.3 kernel over Arrow batches)
+        extracted = ok.withColumn("ex", extract_udf("html", "url")).cache()
+        docs = extracted.select(
+            "url",
+            F.lit(r).alias("round"),
+            F.lit(200).alias("http_code"),
+            F.lit(0).alias("curl_code"),
+            F.col("warc_ts").alias("modified"),
+            F.col("lang"),
+            F.col("html_len"),
+            F.col("ex.text").alias("text"),
+            F.col("ex.title").alias("title"),
+            F.col("ex.charset").alias("charset"),
+            F.col("ex.rss").alias("rss"),
+            F.col("ex.rss2").alias("rss2"),
+            F.col("ex.atom").alias("atom"),
+            F.col("ex.meta_index").alias("meta_index"),
+            F.col("ex.meta_follow").alias("meta_follow"),
+            F.col("ex.n_warnings").alias("n_warnings"),
+        )
+        # fetch failures still produce doc stubs (crawler.cc:974-999)
+        stub_cols = [
+            "lang", "html_len", "text", "title", "charset", "rss", "rss2",
+            "atom", "meta_index", "meta_follow", "n_warnings", "modified",
+        ]
+        stubs = (
+            missing.select(
+                "url", F.lit(r).alias("round"), F.lit(0).alias("http_code"),
+                F.lit(6).alias("curl_code"),  # CURLE_COULDNT_RESOLVE_HOST
+            ).unionByName(
+                toobig.select(
+                    "url", F.lit(r).alias("round"), F.lit(200).alias("http_code"),
+                    F.lit(42).alias("curl_code"),  # CURLE_ABORTED_BY_CALLBACK
+                )
+            )
+        )
+        for c in stub_cols:
+            stubs = stubs.withColumn(c, F.lit(None).cast(dict(docs.dtypes)[c]))
+        docs = docs.unionByName(stubs.select(*docs.columns))
+
+        # 5. links table
+        links = (
+            extracted.select(
+                F.col("url").alias("src"),
+                F.col("seq").alias("src_seq"),
+                F.posexplode("ex.links").alias("pos", "l"),
+            )
+            .select("src", "src_seq", "pos", F.col("l.url").alias("url"), F.col("l.txt").alias("txt"))
+            .filter(F.col("url").startswith("http:"))  # F11 ingest parity
+            .withColumn("round", F.lit(r))
+        )
+        links = links.cache()
+
+        # 6. next frontier = links ∖ (seen ∪ scheduled), deduped, FIFO-seq'd
+        seen = self.cat.read("seen")
+        cand = (
+            links.groupBy("url")
+            .agg(F.min(F.struct("src_seq", "pos")).alias("arr"))
+            .select("url", "arr.src_seq", "arr.pos")
+        )
+        # anti-join against the WHOLE current frontier (scheduled + deferred):
+        # a link may point at a URL still queued behind the politeness budget
+        cand = cand.join(frontier.select("url"), "url", "left_anti")
+        fresh = new_urls(cand, seen, self.bloom, "url")
+        parts_udf = F.pandas_udf(url_parts_frame, URL_PARTS_TYPE)
+        fresh = fresh.withColumn("host", parts_udf("url").getField("host"))
+        new_frontier = assign_seq(
+            fresh.select("url", "host", "src_seq", "pos"), ["src_seq", "pos", "url"], next_seq
+        ).drop("src_seq", "pos")
+        next_frontier = deferred.select("url", "host", "seq").unionByName(new_frontier)
+
+        # 7. metrics: per-partition lineage (A3/P12)
+        part_metrics = (
+            extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("html_len").alias("bytes"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+            )
+            .withColumn("round", F.lit(r))
+            .withColumn("stage", F.lit("extract"))
+        )
+
+        # 8. commit (stats first — forces the plans exactly once via cache)
+        n_scheduled = scheduled.count()
+        n_disallowed = disallowed.count()
+        n_docs = docs.count()
+        n_links = links.count()
+        new_seen = scheduled.select("url")
+        if self.bloom is not None:
+            self.bloom.add_df(new_seen, "url")
+        self.cat.commit("docs", docs, mode="append", meta={"round": r})
+        self.cat.commit("links", links.drop("src_seq"), mode="append", meta={"round": r})
+        self.cat.commit("seen", new_seen, mode="append", meta={"round": r})
+        self.cat.commit("metrics", part_metrics, mode="append", meta={"round": r})
+        n_next = next_frontier.count()
+        self.cat.commit(
+            "frontier",
+            next_frontier,
+            mode="overwrite",
+            meta={"round": r + 1, "next_seq": next_seq + n_next, "rows": n_next},
+        )
+        frontier.unpersist()
+        scheduled.unpersist()
+        extracted.unpersist()
+        links.unpersist()
+        return {
+            "round": r,
+            "scheduled": n_scheduled,
+            "disallowed": n_disallowed,
+            "docs": n_docs,
+            "links": n_links,
+            "next_frontier": n_next,
+            "done": n_next == 0,
+        }
+
+    def run(self, max_rounds: int = 10) -> list[dict]:
+        stats = []
+        for _ in range(max_rounds):
+            s = self.run_round()
+            stats.append(s)
+            if s.get("done"):
+                break
+        return stats
