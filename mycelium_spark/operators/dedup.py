@@ -1,0 +1,403 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a ``documents(doc_id, text, ...)`` table, each a
+pure DataFrame recipe (JVM expressions only — no Python in the hot path)
+with a colocated DuckDB oracle-SQL builder that replays the SAME algorithm:
+all content hashing is md5-derived (``conv(substr(md5(x),1,7),16,10)``,
+28-bit) with universal-hash derivations in plain modular arithmetic, so
+Spark and DuckDB produce bit-identical signatures and the driver's
+value-hash comparison is exact, not approximate.
+
+Scale notes (100 TB corpus): every family is shuffle-bounded by its
+blocking key (band bucket / shared shingle / simhash band / LSH bucket),
+never by the O(n²) pair space; exact-dedup groups on a 128-bit content
+hash instead of the raw text (shuffle carries 16 bytes per row, not
+documents); candidate-pair verification joins back to token sets only for
+the candidates. AQE skew-join handles pathological buckets (e.g. the empty
+shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MOD = (1 << 31) - 1  # universal-hash modulus (fits both engines' BIGINT)
+
+# deterministic odd multipliers / offsets for the permutation family
+# (LCG-generated, embedded verbatim in the oracle SQL)
+def _perm_constants(n: int) -> list[tuple[int, int]]:
+    out = []
+    state = 0x5DEECE66D
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % (MOD - 2) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MOD
+        out.append((a, b))
+    return out
+
+
+def _hash28(col):
+    """28-bit md5-derived hash — identical to DuckDB's
+    ('0x' || substr(md5(x),1,7))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def _hash28_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}),1,7)) AS BIGINT)"
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(tokens: str, k: int) -> str:
+    """Word k-gram shingles (Spark SQL expression string).
+
+    Docs shorter than k tokens yield ONE short shingle (the whole doc) —
+    mirrored exactly in shingles_sql via greatest(..., 1).
+    """
+    return (
+        f"transform(sequence(1, greatest(size({tokens})-{k}+1, 1)),"
+        f" i -> concat_ws(' ', slice({tokens}, i, {k})))"
+    )
+
+
+def shingles_sql(tokens: str, k: int) -> str:
+    return (
+        f"[array_to_string({tokens}[i+1:i+{k}], ' ') "
+        f"for i in range(0, greatest(len({tokens})-{k}+1, 1))]"
+    )
+
+
+# ---------------------------------------------------------------- exact ---
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical text.
+
+    Groups on md5(text) so the shuffle carries a 32-char key, not the
+    document (A1 hash-groupBy). Returns (doc_id, n_dupes).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        )
+        .select(id_col, "n_dupes")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+# -------------------------------------------------------------- minhash ---
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 16, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature columns sig0..sig{p-1} (JVM-only).
+
+    shingle → 28-bit md5 hash → p universal permutations → min per doc.
+    Docs with fewer than k tokens hash their (single) short shingle.
+    """
+    perms = _perm_constants(num_perm)
+    sh = docs.select(
+        id_col,
+        F.explode(F.expr(shingles_expr(f"split({text_col}, ' ')", k))).alias("sh"),
+    ).withColumn("h", _hash28(F.col("sh")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MOD)).alias(f"sig{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, num_perm: int = 16, bands: int = 8, k: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    banding: p/bands rows per band; docs agreeing on a whole band become
+    candidates (shuffle on band key only); candidates verified with exact
+    Jaccard over distinct shingle sets >= threshold.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"sig{bi * rows + j}") for j in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col, F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("band")
+    )
+    pairs = (
+        melted.alias("x")
+        .join(melted.alias("y"), "band")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(docs, pairs, k, threshold, text_col, id_col)
+
+
+def _verify_jaccard(docs, pairs, k, threshold, text_col, id_col):
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.expr("array_distinct(" + shingles_expr(f"split({text_col}, ' ')", k) + ")").alias("ss"),
+    )
+    return (
+        pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("ss", "ss_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ss_a", "ss_b")))
+        .withColumn("uni", F.size("ss_a") + F.size("ss_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_sql(num_perm: int = 16, bands: int = 8, k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB replay of minhash_dedup_pairs (same hashes → same result)."""
+    perms = _perm_constants(num_perm)
+    rows = num_perm // bands
+    sig_exprs = ", ".join(
+        f"min((h * {a} + {b}) % {MOD}) AS sig{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('_', "
+        + ", ".join([f"'{bi}'"] + [f"sig{bi * rows + j}" for j in range(rows)])
+        + f") AS band{bi}"
+        for bi in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, band{bi} AS band FROM banded" for bi in range(bands)
+    )
+    sh = shingles_sql("string_split(text, ' ')", k)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS s FROM documents
+), hashed AS (
+  SELECT doc_id, {_hash28_sql('s')} AS h FROM sh
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+), melted AS ( {band_union} ),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM melted x JOIN melted y ON x.band = y.band AND x.doc_id < y.doc_id
+), ssets AS (
+  SELECT doc_id, list_distinct({shingles_sql('toks', k)}) AS ss
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM (
+  SELECT id_a, id_b,
+         len(list_intersect(a.ss, b.ss)) AS inter,
+         len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS uni
+  FROM pairs JOIN ssets a ON pairs.id_a = a.doc_id
+             JOIN ssets b ON pairs.id_b = b.doc_id
+)
+WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
+"""
+
+
+# -------------------------------------------------------------- simhash ---
+N_SIM_BITS = 28
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """28-bit SimHash per doc from md5-derived token hashes (JVM-only)."""
+    toks = docs.select(
+        id_col, F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("h", _hash28(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(N_SIM_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(N_SIM_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: 4 bands of 7 bits — any pair within hamming 3 agrees on at
+    least one band (pigeonhole), so the candidate join shuffles on the
+    band value, never the pair space.
+    """
+    sig = simhash(docs, text_col, id_col).cache()
+    bands = [
+        (F.shiftright(F.col("simhash"), 7 * bi).bitwiseAND(F.lit(0x7F))).alias(f"b{bi}")
+        for bi in range(4)
+    ]
+    banded = sig.select(id_col, "simhash", *bands)
+    melted = banded.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.concat_ws("_", F.lit(bi), F.col(f"b{bi}")) for bi in range(4)])
+        ).alias("band"),
+    )
+    pairs = (
+        melted.alias("x")
+        .join(melted.alias("y"), "band")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(N_SIM_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_SIM_BITS))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, concat_ws('_', '{bi}', (simhash >> {7 * bi}) & 127) AS band FROM sigs"
+        for bi in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {_hash28_sql('tok')} AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+), melted AS ( {band_union} )
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM melted x JOIN melted y ON x.band = y.band AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+# -------------------------------------------------- n-gram jaccard --------
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup: candidates = docs sharing >=1 shingle,
+    then exact Jaccard >= threshold. Complete (no LSH miss) — the exact
+    baseline the probabilistic families are measured against."""
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.expr("array_distinct(" + shingles_expr(f"split({text_col}, ' ')", k) + ")").alias("ss"),
+    ).cache()
+    melted = shingle_sets.select(id_col, F.explode("ss").alias("sh"))
+    pairs = (
+        melted.alias("x")
+        .join(melted.alias("y"), "sh")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("ss", "ss_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ss_a", "ss_b")))
+        .withColumn("uni", F.size("ss_a") + F.size("ss_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5) -> str:
+    sh = shingles_sql("toks", k)
+    return f"""
+WITH ssets AS (
+  SELECT doc_id, list_distinct({sh}) AS ss
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), melted AS (
+  SELECT doc_id, unnest(ss) AS sh FROM ssets
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM melted x JOIN melted y ON x.sh = y.sh AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM (
+  SELECT id_a, id_b,
+         len(list_intersect(a.ss, b.ss)) AS inter,
+         len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS uni
+  FROM pairs JOIN ssets a ON pairs.id_a = a.doc_id
+             JOIN ssets b ON pairs.id_b = b.doc_id
+)
+WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
+"""
+
+
+# ------------------------------------------- embedding cosine near-dup ----
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.99, block_col: str = "label",
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup within blocks (label here; at scale the block
+    is an LSH/IVF bucket — see operators/similarity.py). JVM higher-order
+    functions only; cosine rounded to 6 dp for cross-engine determinism."""
+    withn = emb.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.expr(f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).alias("nrm"),
+    )
+    a = withn.select(F.col(id_col).alias("id_a"), F.col("blk"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withn.select(F.col(id_col).alias("id_b"), F.col("blk"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"),
+        )
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.99) -> str:
+    return f"""
+WITH withn AS (
+  SELECT vec_id, label AS blk, embedding AS v,
+         sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding], (s, x) -> s + x)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce([CAST(a.v[i+1] AS DOUBLE) * CAST(b.v[i+1] AS DOUBLE) for i in range(0, len(a.v))], (s, x) -> s + x)
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM withn a JOIN withn b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE round(list_reduce([CAST(a.v[i+1] AS DOUBLE) * CAST(b.v[i+1] AS DOUBLE) for i in range(0, len(a.v))], (s, x) -> s + x)
+            / (a.nrm * b.nrm), 6) >= {threshold}
+"""

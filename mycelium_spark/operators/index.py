@@ -1,0 +1,103 @@
+"""Inverted-index build (SURVEY.md §2.7 A5): document → postings explode +
+groupBy-sort aggregation.
+
+The reference left this as TODO ("inverted index: TODO", README.txt:25-27)
+with only the tokenizer existing (dist/utils/__init__.py:69-73); this is
+the Spark-native completion the north star names: tokenize → explode →
+groupBy(term) → sorted postings.
+
+Tokenization is T1 parity: split on single spaces, keep ``^\\w+$`` tokens
+(ASCII \\w in both engines' regex dialects).
+
+Scale notes: term frequencies combine map-side (partial aggregation); the
+final postings groupBy shuffles (term, doc_id, tf) triples — bytes
+proportional to the postings themselves, which is the output. Skewed terms
+(stopwords) are exactly the AQE skew-join case; for index *storage* the
+postings arrays are range-partitioned by term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = r"^\w+$"
+
+
+def doc_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) — T1 tokenize + per-doc term frequency."""
+    return (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term").rlike(_TOKEN_RE))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, df, total_tf, postings: array<struct<doc_id, tf>> sorted by doc_id)."""
+    dt = doc_terms(docs, text_col, id_col)
+    return dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("doc_id"), F.col("tf")))).alias(
+            "postings"
+        ),
+    )
+
+
+def postings_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Oracle-friendly flat view: (term, df, total_tf, first_doc, max_tf)."""
+    dt = doc_terms(docs, text_col, id_col)
+    return dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.min(id_col).cast("long").alias("first_doc"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+
+
+def postings_stats_sql() -> str:
+    return """
+WITH dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+  WHERE regexp_full_match(term, '\\w+')
+  GROUP BY doc_id, term
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(tf) AS BIGINT) AS max_tf
+FROM dt GROUP BY term
+"""
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, idf, tf_idf) — ln((N+1)/(df+1)) smoothing, 6 dp."""
+    dt = doc_terms(docs, text_col, id_col).cache()
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dt.join(dfreq, "term")
+        .withColumn("idf", F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6))
+        .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 6))
+        .select(id_col, "term", "tf", "idf", "tf_idf")
+    )
+
+
+def tf_idf_sql() -> str:
+    return """
+WITH dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE regexp_full_match(term, '\\w+')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM dt GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT dt.doc_id, dt.term, dt.tf,
+       round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS idf,
+       round(dt.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6), 6) AS tf_idf
+FROM dt JOIN dfreq ON dt.term = dfreq.term CROSS JOIN n
+"""

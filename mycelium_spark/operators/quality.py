@@ -1,0 +1,150 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all pure JVM expressions with DuckDB oracle twins.
+
+The langid heuristic scores stopword-profile hits per language and picks
+the argmax (ties and all-zero → 'und'); profiles live in
+functions/text.py (LANG_PROFILES) and are embedded as literals in both
+engines' plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_PROFILES
+
+_MOD = (1 << 31) - 1
+_PUNCT_CLASS = r"[.,;:!?'\"()\-]"
+_BPEISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _stop_count_expr(tokens: str, words: tuple[str, ...]) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return f"size(filter({tokens}, t -> array_contains({arr}, lower(t))))"
+
+
+def _stop_count_sql(tokens: str, words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tokens}, t -> list_contains({arr}, lower(t))))"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID → (doc_id, lang_pred)."""
+    toks = f"split({text_col}, ' ')"
+    df = docs.select(id_col, F.col(text_col))
+    for lang in sorted(LANG_PROFILES):
+        df = df.withColumn(f"_s_{lang}", F.expr(_stop_count_expr(toks, LANG_PROFILES[lang])))
+    # argmax with deterministic ties: first lang (sorted) with score == max > 0
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(id_col, pred.alias("lang_pred"))
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    scores = ", ".join(
+        f"{_stop_count_sql('toks', LANG_PROFILES[lang])} AS _s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"_s_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN _s_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {scores} FROM t)
+SELECT doc_id, {case} AS lang_pred FROM s
+"""
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality features, 6-dp rounded."""
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    stop = _stop_count_expr(toks, LANG_PROFILES["en"])
+    return docs.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")) / F.length(text_col), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.expr(f"length(regexp_replace({text_col}, '[^.,;:!?\\'\"()\\\\-]', ''))")
+            / F.length(text_col),
+            6,
+        ).alias("punct_ratio"),
+        F.round(F.expr(stop) / F.expr(f"size({toks})"), 6).alias("stopword_ratio"),
+        F.round(
+            F.expr(f"aggregate({toks}, 0L, (s, t) -> s + length(t))")
+            / F.expr(f"size({toks})"),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_features_sql() -> str:
+    stop = _stop_count_sql("toks", LANG_PROFILES["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  round(CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+  round(CAST({stop} AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(length(x) AS BIGINT) for x in toks]), (s, x) -> s + x) AS DOUBLE) / len(toks), 6) AS mean_token_len
+FROM t
+"""
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(whitespace tokens, BPE-ish regex tokens) per doc."""
+    return docs.select(
+        id_col,
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t != ''))")
+        .cast("long")
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPEISH), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPEISH}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling hash (mod 2^31-1) over space tokens —
+    md5-derived per-token hashes, so the oracle is bit-exact."""
+    h = "CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
+    return docs.select(
+        id_col,
+        F.expr(
+            f"aggregate(transform(split({text_col}, ' '), t -> {h}),"
+            f" CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_MOD})"
+        ).alias("fingerprint"),
+    )
+
+
+def fingerprints_sql() -> str:
+    h = "CAST(('0x' || substr(md5(x),1,7)) AS BIGINT)"
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT), [{h} for x in string_split(text, ' ')]),
+    (acc, x) -> (acc * 31 + x) % {_MOD}) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure JVM expressions (higher-order functions — no Python
+in the scoring loop):
+
+* brute-force cosine top-k — the exactness baseline; a single scan with a
+  map-side partial top-k (Spark's TakeOrderedAndProject), no shuffle of
+  the full table;
+* LSH-bucketed ANN — random-hyperplane sign buckets; the hyperplanes are
+  deterministic (LCG-derived, embedded as literals in both the Spark plan
+  and the DuckDB oracle), the query probes only its own bucket. At 100 TB
+  the table is written bucketed-by(bucket) so a probe is a partition-pruned
+  scan, not a full pass; multiprobe = visiting buckets at hamming distance
+  1 from the query bucket.
+
+Cosines are computed in double precision with a left-fold in array order
+in BOTH engines and rounded to 6 dp, so the oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MOD = (1 << 31) - 1
+
+
+def _lcg_floats(n: int, seed: int = 0xC0FFEE) -> list[float]:
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(((state >> 16) % _MOD) / _MOD * 2.0 - 1.0)
+    return out
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (same values in the oracle)."""
+    return [_lcg_floats(dim, seed=0xC0FFEE + 7919 * p) for p in range(n_planes)]
+
+
+def _dot_expr(vec_col: str, lits: list[float]) -> str:
+    arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in lits) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+
+
+def _dot_sql(vec_col: str, lits: list[float]) -> str:
+    arr = "[" + ", ".join(repr(x) for x in lits) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" [CAST({vec_col}[i+1] AS DOUBLE) * ({arr})[i+1] for i in range(0, len({vec_col}))]),"
+        f" (s, x) -> s + x)"
+    )
+
+
+def _norm_expr(vec_col: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        f" (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _norm_sql(vec_col: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {vec_col}]), (s, x) -> s + x))"
+    )
+
+
+def _qnorm(query: list[float]) -> float:
+    return sum(x * x for x in query) ** 0.5
+
+
+def cosine_topk(
+    emb: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k (ties broken by id): the exact baseline."""
+    qn = _qnorm(query)
+    out = (
+        emb.withColumn("_dot", F.expr(_dot_expr(vec_col, query)))
+        .withColumn("_n", F.expr(_norm_expr(vec_col)))
+        .withColumn("cosine", F.round(F.col("_dot") / (F.col("_n") * F.lit(qn)), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    return out
+
+
+def cosine_topk_sql(query: list[float], k: int = 10) -> str:
+    qn = _qnorm(query)
+    return f"""
+SELECT vec_id, round({_dot_sql('embedding', query)} / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_dot_expr(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_dot_sql(vec_col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def query_bucket(query: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        s = 0.0
+        for x, y in zip(query, p):
+            s += float(x) * y
+        if s > 0:
+            b |= 1 << i
+    return b
+
+
+def ann_topk(
+    emb: DataFrame, query: list[float], k: int = 10, n_planes: int = 4,
+    multiprobe: int = 0, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only the query's bucket
+    (plus buckets at hamming distance <= multiprobe)."""
+    dim = len(query)
+    planes = hyperplanes(n_planes, dim)
+    qb = query_bucket(query, planes)
+    probe = {qb}
+    if multiprobe >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    qn = _qnorm(query)
+    return (
+        emb.withColumn("_bucket", F.expr(bucket_expr(vec_col, planes)))
+        .filter(F.col("_bucket").isin(*sorted(probe)))
+        .withColumn("_dot", F.expr(_dot_expr(vec_col, query)))
+        .withColumn("_n", F.expr(_norm_expr(vec_col)))
+        .withColumn("cosine", F.round(F.col("_dot") / (F.col("_n") * F.lit(qn)), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk_sql(query: list[float], k: int = 10, n_planes: int = 4, multiprobe: int = 0) -> str:
+    planes = hyperplanes(n_planes, len(query))
+    qb = query_bucket(query, planes)
+    probe = {qb}
+    if multiprobe >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    qn = _qnorm(query)
+    in_list = ", ".join(str(b) for b in sorted(probe))
+    return f"""
+SELECT vec_id, round({_dot_sql('embedding', query)} / ({_norm_sql('embedding')} * {qn!r}), 6) AS cosine
+FROM embeddings
+WHERE {bucket_sql('embedding', planes)} IN ({in_list})
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def deterministic_query(dim: int = 64, seed: int = 1234) -> list[float]:
+    """A fixed query vector for tests/benchmarks."""
+    return [round(x, 6) for x in _lcg_floats(dim, seed)]
