@@ -1,0 +1,388 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator family as a
+(spark_query, oracle_sql) pair over the driver's parquet tables.
+
+Determinism rules used throughout so the driver's order-insensitive
+value-hash comparison is exact:
+* money/double sums go through DECIMAL(18,2) (exact, order-independent)
+  before converting back to DOUBLE;
+* ratios/cosines are rounded to 6 dp; both engines fold arrays in the
+  same order;
+* content hashing is md5-derived (identical in Spark and DuckDB);
+* no raw timestamps in outputs (epoch seconds instead).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
+from ..operators import dedup, index, quality, similarity
+from ..functions.robots import parse_robots
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col):
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2)
+
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ====================================================================
+# Frontier / crawl-engine operators mapped onto the driver tables
+# (events.user_id plays the 'host' role)
+# ====================================================================
+
+@register(
+    "politeness_budget",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS host_pos
+    FROM events
+    QUALIFY host_pos <= 5
+    """,
+)
+def politeness_budget(spark, sf_dir):
+    """Q1-Q5: per-host FIFO + per-round budget window (SURVEY §2.4)."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("host_pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_pos") <= 5)
+        .select("event_id", "user_id", "host_pos")
+    )
+
+
+@register(
+    "host_grouping",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def host_grouping(spark, sf_dir):
+    """A2: group-by-host queue-length metrics."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), _dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "seen_anti_join",
+    """
+    SELECT e.event_id, e.user_id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def seen_anti_join(spark, sf_dir):
+    """A1: URL-seen dedup as a left_anti join (exact confirm path)."""
+    events = _read(spark, sf_dir, "events")
+    customer = _read(spark, sf_dir, "customer")
+    return events.join(
+        customer.select(F.col("c_custkey").alias("user_id")), "user_id", "left_anti"
+    ).select("event_id", "user_id")
+
+
+@register(
+    "overflow_order_topk",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY event_type DESC LIMIT 3
+    """,
+)
+def overflow_order_topk(spark, sf_dir):
+    """Q4/A6: overflow drain order — greatest key first, top-k."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("event_type"))
+        .limit(3)
+    )
+
+
+@register(
+    "round_metrics_agg",
+    """
+    SELECT CAST(date_part('hour', ts) AS INT) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS bytes
+    FROM events GROUP BY 1, 2
+    """,
+)
+def round_metrics_agg(spark, sf_dir):
+    """A3/P12: per-tick stats aggregation (5 s scheduler printout analog)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy(
+        F.hour("ts").cast("int").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"), _dsum("value").alias("bytes"))
+
+
+# ====================================================================
+# Parity kernels exercised end-to-end on constructed columns
+# ====================================================================
+
+@register(
+    "url_normalize",
+    """
+    SELECT doc_id,
+           'http://src' || CAST(doc_id % 10 AS VARCHAR) || '.example/d' ||
+           CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+           AS url_norm
+    FROM documents
+    """,
+)
+def url_normalize(spark, sf_dir):
+    """F1-F8: the normalizer UDF on messy constructed URLs; the oracle is
+    the closed-form expected string (inputs are controlled)."""
+    docs = _read(spark, sf_dir, "documents")
+    norm_udf = F.pandas_udf(normalize_url_series, "string")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://SRC"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".Example/d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/../d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/%70"), (F.col("doc_id")).cast("string"), F.lit(".html"),
+        ).alias("url_raw"),
+    )
+    return messy.select("doc_id", norm_udf("url_raw").alias("url_norm"))
+
+
+@register(
+    "html_extract_text",
+    """
+    SELECT doc_id,
+           chr(10) || 'T' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text,
+           'T' || CAST(doc_id AS VARCHAR) AS title
+    FROM documents
+    """,
+)
+def html_extract_text(spark, sf_dir):
+    """H1-H7: the extraction kernel over constructed HTML; expected text is
+    closed-form ('\\n' + title break + body)."""
+    docs = _read(spark, sf_dir, "documents")
+    extract_udf = F.pandas_udf(extract_frame, EXTRACT_TYPE)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body>"), F.col("text"), F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example/")).alias("url"),
+    )
+    ex = html.withColumn("ex", extract_udf("html", "url"))
+    return ex.select("doc_id", F.col("ex.text").alias("text"), F.col("ex.title").alias("title"))
+
+
+@register(
+    "robots_gate_prefix",
+    """
+    SELECT doc_id, '/d' || CAST(doc_id % 7 AS VARCHAR) || '/x.html' AS path,
+           (doc_id % 7) NOT IN (3, 5) AS allowed
+    FROM documents
+    """,
+)
+def robots_gate_prefix(spark, sf_dir):
+    """R1-R2 (documented prefix mode): gate constructed paths through a
+    parsed robots.txt; the oracle knows the closed-form answer."""
+    docs = _read(spark, sf_dir, "documents")
+    robots_txt = b"User-agent: *\nDisallow: /d3/\nDisallow: /d5/ # comment\n"
+    robots = parse_robots(robots_txt, exact_match=False)
+    groups = [(list(g.ua), [(int(t), r) for t, r in g.rules]) for g in robots.groups]
+
+    from pyspark.sql.types import BooleanType
+
+    def gate(paths: pd.Series) -> pd.Series:
+        r = parse_robots(robots_txt, exact_match=False)
+        return pd.Series([r.path_allowed(b"*-bot", p) for p in paths])
+
+    gate_udf = F.pandas_udf(gate, BooleanType())
+    del groups
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("/d"), (F.col("doc_id") % 7).cast("string"), F.lit("/x.html")).alias("path"),
+    ).withColumn("allowed", gate_udf("path"))
+
+
+# ====================================================================
+# Relational coverage (Catalyst does the work; plans stay broadcast/pruned)
+# ====================================================================
+
+@register(
+    "q1_lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_lineitem_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2) AS revenue,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    """
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def broadcast_dim_join(spark, sf_dir):
+    """S7 analog: point-lookup join becomes a broadcast dim join."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _dsum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+# ====================================================================
+# Training-data operators (dedup / similarity / text / index)
+# ====================================================================
+
+register("exact_dedup", dedup.exact_dedup_sql())(
+    lambda spark, sf_dir: dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+)
+register("minhash_dedup", dedup.minhash_dedup_sql(16, 8, 3, 0.5))(
+    lambda spark, sf_dir: dedup.minhash_dedup_pairs(
+        _read(spark, sf_dir, "documents"), 16, 8, 3, 0.5
+    )
+)
+register("simhash_neardup", dedup.simhash_sql(3))(
+    lambda spark, sf_dir: dedup.simhash_pairs(_read(spark, sf_dir, "documents"), 3)
+)
+register("ngram_jaccard_dedup", dedup.ngram_jaccard_sql(5, 0.4))(
+    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), 5, 0.4)
+)
+register("embedding_neardup", dedup.embedding_neardup_sql(0.8))(
+    lambda spark, sf_dir: dedup.embedding_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), 0.8
+    )
+)
+
+_Q64 = similarity.deterministic_query(64)
+register("cosine_topk", similarity.cosine_topk_sql(_Q64, 25))(
+    lambda spark, sf_dir: similarity.cosine_topk(_read(spark, sf_dir, "embeddings"), _Q64, 25)
+)
+register("ann_topk_lsh", similarity.ann_topk_sql(_Q64, 10, 4, 1))(
+    lambda spark, sf_dir: similarity.ann_topk(
+        _read(spark, sf_dir, "embeddings"), _Q64, 10, 4, 1
+    )
+)
+
+register("lang_id", quality.lang_id_sql())(
+    lambda spark, sf_dir: quality.lang_id(_read(spark, sf_dir, "documents"))
+)
+register("quality_score", quality.quality_features_sql())(
+    lambda spark, sf_dir: quality.quality_features(_read(spark, sf_dir, "documents"))
+)
+register("token_count", quality.token_counts_sql())(
+    lambda spark, sf_dir: quality.token_counts(_read(spark, sf_dir, "documents"))
+)
+register("doc_fingerprint", quality.fingerprints_sql())(
+    lambda spark, sf_dir: quality.fingerprints(_read(spark, sf_dir, "documents"))
+)
+
+register("inverted_index", index.postings_stats_sql())(
+    lambda spark, sf_dir: index.postings_stats(_read(spark, sf_dir, "documents"))
+)
+register("tf_idf", index.tf_idf_sql())(
+    lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))
+)
+
+
+# ====================================================================
+# Flagship entry: crawl-style extraction pipeline at sf0.001
+# ====================================================================
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Synthesize HTML around each sf0.001 document, run the extraction
+    kernel, and join the inverted-index stats — one DataFrame exercising
+    the extract UDF, tokenizer and aggregation layers together."""
+    sf_dir = "/root/testdata/sf0.001"
+    ex = html_extract_text(spark, sf_dir)
+    stats = index.postings_stats(_read(spark, sf_dir, "documents"))
+    top_terms = stats.orderBy(F.desc("total_tf"), F.asc("term")).limit(5).select("term")
+    docs_tokens = quality.token_counts(_read(spark, sf_dir, "documents"))
+    return (
+        ex.join(docs_tokens, "doc_id")
+        .select("doc_id", "title", "ws_tokens", "bpe_tokens", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
