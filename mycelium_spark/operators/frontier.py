@@ -35,17 +35,39 @@ def politeness_schedule(
     per_host_budget: int,
     host_col: str = "host",
     seq_col: str = "seq",
+    salt: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (scheduled, deferred) for one round.
 
     Scheduled rows carry ``host_pos`` (1-based FIFO position within host,
     the politeness rank) matching the reference's per-host pop order.
+
+    ``salt > 1`` enables the two-phase skew-resistant plan: phase 1 windows
+    over (host, hash(url) % salt) and keeps the per-salt top-B (everything
+    beyond is deferred WITHOUT a join — it can't be in the global top-B);
+    phase 2 windows over host on at most salt*B rows per host. The hot-host
+    straggler task drops from sorting the whole backlog to sorting salt*B
+    rows. Identical output to the single-window plan.
     """
-    w = Window.partitionBy(host_col).orderBy(seq_col)
-    ranked = frontier.withColumn("host_pos", F.row_number().over(w))
-    scheduled = ranked.filter(F.col("host_pos") <= per_host_budget)
-    deferred = ranked.filter(F.col("host_pos") > per_host_budget).drop("host_pos")
-    return scheduled, deferred
+    if salt <= 1:
+        w = Window.partitionBy(host_col).orderBy(seq_col)
+        ranked = frontier.withColumn("host_pos", F.row_number().over(w))
+        scheduled = ranked.filter(F.col("host_pos") <= per_host_budget)
+        deferred = ranked.filter(F.col("host_pos") > per_host_budget).drop("host_pos")
+        return scheduled, deferred
+    cols = frontier.columns
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(seq_col)
+    pre = salted.withColumn("_pos1", F.row_number().over(w1))
+    survivors = pre.filter(F.col("_pos1") <= per_host_budget)
+    deferred_far = pre.filter(F.col("_pos1") > per_host_budget).select(*cols)
+    w2 = Window.partitionBy(host_col).orderBy(seq_col)
+    ranked = survivors.withColumn("host_pos", F.row_number().over(w2))
+    scheduled = ranked.filter(F.col("host_pos") <= per_host_budget).drop("_salt", "_pos1")
+    deferred_near = ranked.filter(F.col("host_pos") > per_host_budget).select(*cols)
+    return scheduled, deferred_near.unionByName(deferred_far)
 
 
 def with_worker_bucket(

@@ -44,17 +44,33 @@ class BloomSeen:
         ]
 
     def add_df(self, df: DataFrame, url_col: str = "url") -> None:
-        """OR the URLs of ``df`` into the bitmap (distributed)."""
-        idx = (
-            df.select(F.explode(F.array(*self._index_cols(F.col(url_col)))).alias("i"))
-            .distinct()
-            .toPandas()["i"]
-            .to_numpy(dtype=np.int64)
-        )
-        if idx.size:
-            word = idx >> 6
-            bit = np.uint64(1) << (idx & 63).astype(np.uint64)
-            np.bitwise_or.at(self.bits, word, bit)
+        """OR the URLs of ``df`` into the bitmap (distributed).
+
+        Bits are OR-combined JVM-side per 64-bit word (``bit_or`` aggregate
+        with map-side partial aggregation), so the driver collects at most
+        ``num_bits/64`` (word, bits) pairs regardless of set size.
+        """
+        spark = df.sparkSession
+        arrow_was = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        try:
+            idx = F.explode(F.array(*self._index_cols(F.col(url_col)))).alias("i")
+            words = (
+                df.select(idx)
+                .selectExpr(
+                    "shiftright(i, 6) AS w",
+                    "shiftleft(CAST(1 AS BIGINT), CAST(i & 63 AS INT)) AS b",
+                )
+                .groupBy("w")
+                .agg(F.expr("bit_or(b)").alias("bits"))
+                .toPandas()
+            )
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", arrow_was)
+        if len(words):
+            w = words["w"].to_numpy(dtype=np.int64)
+            b = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+            np.bitwise_or.at(self.bits, w, b)
 
     def prefilter(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
         """Adds ``maybe_seen`` (bool). False → definitively new."""
@@ -88,6 +104,9 @@ def new_urls(
         return candidates
     if bloom is None:
         return candidates.join(seen.select(url_col), url_col, "left_anti")
+    # NOTE: both branches recompute the membership UDF (cheap, vectorized);
+    # caching here would pin candidate-sized data across caller actions and
+    # churn executor memory in round loops — callers cache `candidates`.
     pref = bloom.prefilter(candidates, url_col)
     fresh = pref.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = pref.filter(F.col("maybe_seen")).drop("maybe_seen")
