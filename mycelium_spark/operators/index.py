@@ -18,6 +18,7 @@ postings arrays are range-partitioned by term.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +72,42 @@ SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
        CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(tf) AS BIGINT) AS max_tf
 FROM dt GROUP BY term
 """
+
+
+def stemmed_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """T3+A5: postings over Porter-stemmed terms (pandas-UDF stemming stage,
+    then the same groupBy-sort aggregation)."""
+    import pandas as pd
+    from pyspark.sql import functions as FF
+
+    from ..functions.stemmer import porter_stem
+
+    def stem_series(terms: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+        out = []
+        for t in terms:
+            s = cache.get(t)
+            if s is None:
+                s = porter_stem(t)
+                cache[t] = s
+            out.append(s)
+        return pd.Series(out)
+
+    stem_udf = FF.pandas_udf(stem_series, "string")
+    dt = (
+        docs.select(id_col, FF.explode(FF.split(FF.col(text_col), " ")).alias("term"))
+        .filter(FF.col("term").rlike(_TOKEN_RE))
+        .withColumn("term", stem_udf("term"))
+        .groupBy(id_col, "term")
+        .agg(FF.count(FF.lit(1)).cast("long").alias("tf"))
+    )
+    return dt.groupBy("term").agg(
+        FF.count(FF.lit(1)).cast("long").alias("df"),
+        FF.sum("tf").cast("long").alias("total_tf"),
+        FF.array_sort(
+            FF.collect_list(FF.struct(FF.col(id_col).alias("doc_id"), FF.col("tf")))
+        ).alias("postings"),
+    )
 
 
 def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -365,6 +365,33 @@ class CrawlEngine:
             "done": n_next == 0,
         }
 
+    def docs_latest(self) -> DataFrame | None:
+        """Upsert-on-read view of the append-only docs table (S6: the Mongo
+        upsert keyed by url, Doc.cc:79): last write per url wins."""
+        docs = self.cat.read("docs")
+        if docs is None:
+            return None
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("round"))
+        return docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+    def refresh_candidates(self) -> DataFrame:
+        """S5 conditional refresh (ETag/If-Modified-Since analog): URLs whose
+        pages row changed since the last crawl. DEAD CODE in the reference
+        (Doc::load_url always returns false, Doc.cc:155, so its refresh
+        branch never runs) — provided behind this explicit call, default
+        unused, for the re-crawl use case."""
+        latest = self.docs_latest()
+        if latest is None:
+            return self.pages.select("url")
+        return (
+            self.pages.select("url", F.col("warc_ts").alias("_new_ts"))
+            .join(latest.select("url", F.col("modified").alias("_old_ts")), "url", "left")
+            .filter(F.col("_old_ts").isNull() | (F.col("_new_ts") != F.col("_old_ts")))
+            .select("url")
+        )
+
     def run(self, max_rounds: int = 10) -> list[dict]:
         stats = []
         for _ in range(max_rounds):

@@ -1,0 +1,115 @@
+"""File-source (S8/S11) and Structured Streaming (S1/§2.9) tests."""
+
+import gzip
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from mycelium_spark.sources.files import index_local_files, read_gzip_text, scan_files
+from mycelium_spark.streaming.seed_stream import crawl_rate_metrics, parse_seed_lines, seed_stream
+
+
+def test_scan_and_index_local_files(spark, tmp_path):
+    d = tmp_path / "docs"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_bytes(b"hello\x00 world")  # control char filtered
+    (d / "sub" / "b.TXT").write_bytes("unicode é ok".encode("utf-8"))
+    (d / "c.pdf").write_bytes(b"%PDF-1.4 fake")
+    (d / "skip.jpg").write_bytes(b"\xff\xd8")
+    files = scan_files(spark, str(d))
+    assert files.count() == 3  # jpg filtered out, recursive + case-insensitive ext
+    docs = index_local_files(files).collect()
+    by_url = {r.url: r for r in docs}
+    a = next(r for u, r in by_url.items() if u.endswith("a.txt"))
+    assert a.http_code == 200 and a.text == "hello world"
+    b = next(r for u, r in by_url.items() if u.endswith("b.txt".upper()) or u.endswith("b.TXT"))
+    assert b.http_code == 200 and "é" in b.text
+    c = next(r for u, r in by_url.items() if u.endswith("c.pdf"))
+    assert c.http_code == 415 and c.text is None  # pdftotext absent → 415 stub
+    assert all(r.url.startswith("file:///") for r in docs)
+
+
+def test_read_gzip_text(spark, tmp_path):
+    p = tmp_path / "lines.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("http://a.example/\nhttp://b.example/\n")
+    df = read_gzip_text(spark, str(p))
+    assert df.count() == 2
+
+
+def test_parse_seed_lines_batch(spark):
+    lines = spark.createDataFrame(
+        [("http://OK.example/a",), ("https://skip.example/",), ("junk ://",), ("ftp://x/",)],
+        ["value"],
+    )
+    out = parse_seed_lines(lines).collect()
+    assert [(r.url, r.host) for r in out] == [("http://ok.example/a", "ok.example")]
+
+
+def test_seed_stream_feeds_frontier(spark, tmp_path):
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "s1.txt").write_text(
+        "http://one.example/a\nhttp://one.example/a\nhttps://skip.me/\nhttp://two.example/b\n"
+    )
+    got = []
+
+    def append(df, batch_id):
+        got.extend((r.url, r.host) for r in df.collect())
+
+    q = seed_stream(
+        spark, str(seed_dir), append, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(60)
+    assert sorted(got) == [
+        ("http://one.example/a", "one.example"),
+        ("http://two.example/b", "two.example"),
+    ]
+
+
+def test_crawl_rate_metrics_watermark(spark, tmp_path):
+    # memory-source streaming test via a rate-limited file stream is flaky;
+    # use the foreachBatch-free path: feed a MemoryStream-like static frame
+    # through the same aggregation in batch mode (semantics identical for
+    # completed windows) and assert the window shape
+    events = spark.createDataFrame(
+        [
+            ("2026-01-01 00:00:01", "a.example", 100),
+            ("2026-01-01 00:00:03", "a.example", 50),
+            ("2026-01-01 00:00:07", "b.example", 10),
+        ],
+        "ts string, host string, bytes long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = crawl_rate_metrics(events).collect()
+    rows = {(str(r.tick_start), r.host): (r.n_fetched, r.bytes) for r in out}
+    assert rows[("2026-01-01 00:00:00", "a.example")] == (2, 150)
+    assert rows[("2026-01-01 00:00:05", "b.example")] == (1, 10)
+
+
+def test_crawl_rate_metrics_streaming_watermark(spark, tmp_path):
+    # true streaming run with availableNow over a file source
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "e.json").write_text(
+        '{"ts":"2026-01-01T00:00:01.000Z","host":"a.example","bytes":100}\n'
+        '{"ts":"2026-01-01T00:00:03.000Z","host":"a.example","bytes":50}\n'
+    )
+    schema = "ts timestamp, host string, bytes long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = crawl_rate_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ticks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode only emits windows the watermark has closed; with a single
+    # micro-batch nothing may be final yet — the assertion is that the
+    # streaming plan is valid and runs (watermark + window accepted)
+    assert spark.sql("SELECT * FROM ticks").columns == [
+        "tick_start", "host", "n_fetched", "bytes",
+    ]
