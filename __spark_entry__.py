@@ -19,14 +19,41 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from mycelium_spark.plans import entries as _entries  # noqa: E402
 
+_PKG_ZIP: str | None = None
+
+
+def _ensure_workers_have_package(spark: SparkSession) -> None:
+    """Ship the package to python workers regardless of the driver's cwd
+    (the UDF closures reference the mycelium_spark module by name)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import shutil
+        import tempfile
+
+        base = os.path.join(tempfile.mkdtemp(prefix="mycelium_pkg_"), "mycelium_spark")
+        root = os.path.dirname(os.path.abspath(__file__))
+        _PKG_ZIP = shutil.make_archive(base, "zip", root, "mycelium_spark")
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added to this context
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_workers_have_package(spark)
     return _entries.entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_entries.QUERIES)
+    def wrap(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_have_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {name: wrap(fn) for name, fn in _entries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
