@@ -170,6 +170,7 @@ _WORD_BREAK_TAGS = frozenset(
     ).split()
 )
 
+_LOW_BYTES = bytes(range(9))  # 0x00-0x08
 _META_REFRESH_RE = re.compile(rb"^\d+; url=(.+)$", re.I)
 # HTTP token chars: not CTL, not separators (HTML_lexer.cc:27-32)
 _CHARSET_RE = re.compile(rb"charset=([^\x00-\x1f\x7f()<>@,;:\\\"/\[\]?={}\t]+)")
@@ -245,6 +246,40 @@ class HtmlLexer:
                     self._data(buf[pos:end])
                     self.pos = end
                     continue
+                if c == 0x5D:  # ']' — MSC_MDC ties the 3-char data run
+                    end = buf.find(b"<", pos)
+                    if end == -1:
+                        end = n
+                    if end - pos == 3 and buf.startswith(b"]]>", pos):
+                        self.warn()  # unmatched marked section end (html.ll:220)
+                        self.pos = pos + 3
+                    else:
+                        self._data(buf[pos:end])
+                        self.pos = end
+                    continue
+                # '<': dispatch on the second byte (rule prefixes partition)
+                subset = _INITIAL_LT.get(buf[pos + 1 : pos + 2], _INITIAL_LT_DEFAULT)
+                best_len = -1
+                best_action = None
+                best_consume = 0
+                for order, rx, action in subset:
+                    m = rx.match(buf, pos)
+                    if m is None:
+                        continue
+                    consume = m.end() - pos
+                    if consume > best_len:
+                        best_len = consume
+                        best_action = action
+                        best_consume = consume
+                if best_action is None:
+                    # stray '<': rule 277's '.' alternative → one DATA char
+                    self._data(buf[pos : pos + 1])
+                    self.pos = pos + 1
+                else:
+                    text = buf[pos : pos + best_consume]
+                    self.pos = pos + best_consume
+                    getattr(self, best_action)(text)
+                continue
             best_len = -1
             best_order = 0
             best_action = None
@@ -491,8 +526,8 @@ class HtmlLexer:
     def submit_link(self) -> None:
         if self.cur_url:
             # strip bytes <= 0x08 (link record serializer, HTML_lexer.cc:822-830)
-            url = bytes(c for c in self.cur_url if c > 0x08)
-            txt = bytes(c for c in self.cur_txt if c > 0x08)
+            url = self.cur_url.translate(None, _LOW_BYTES)
+            txt = self.cur_txt.translate(None, _LOW_BYTES)
             self.links.append((url, txt))
         self.cur_url = b""
         self.cur_txt = b""
@@ -680,6 +715,19 @@ def _make_tag_ops():
 
 
 _STAG_OPS, _CTAG_OPS = _make_tag_ops()
+
+# INITIAL '<'-rule dispatch by second byte (prefixes partition the rules;
+# longest-match within each subset, ties by rule order — lists are ordered)
+def _initial_subset(orders):
+    return tuple(r for r in _RULES[INITIAL] if r[0] in orders)
+
+
+_INITIAL_LT = {
+    b"/": _initial_subset({141, 190}),
+    b"!": _initial_subset({195, 202, 207, 214, 256}),
+    b"?": _initial_subset({225}),
+}
+_INITIAL_LT_DEFAULT = _initial_subset({230, 252})
 
 
 def html_lex(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:

@@ -85,6 +85,18 @@ def _as_bytes(s: str | bytes) -> bytes:
     return s.encode("utf-8")
 
 
+_SAFE_DELETE_TABLES: dict[int, bytes] = {}
+
+
+def _escaping_bytes_present(b: bytes, mask: int) -> bool:
+    table = _SAFE_DELETE_TABLES.get(mask)
+    if table is None:
+        table = bytes(c for c in range(256) if not (URL_CHAR_TABLE[c] & mask))
+        _SAFE_DELETE_TABLES[mask] = table
+    # deleting all non-escaping bytes leaves only the ones needing work
+    return bool(b.translate(None, table))
+
+
 def escape(s: str | bytes, mask: int) -> bytes:
     """Percent-escape bytes whose table entry matches ``mask`` (Url.cc:678-719).
 
@@ -93,6 +105,8 @@ def escape(s: str | bytes, mask: int) -> bytes:
     """
     b = _as_bytes(s)
     if not b:
+        return b
+    if not _escaping_bytes_present(b, mask):  # C-speed fast path
         return b
     out = bytearray()
     i = 0
@@ -469,6 +483,19 @@ class Url:
     def normalize(self) -> "Url":
         self.normalize_scheme()
         self.normalize_host()
+        # Fast path: normalize_escapes serializes and reparses (Url.cc:359-370)
+        # purely to apply unescape_safe + hex uppercasing; with no '%' in the
+        # serialized form that round-trip is a state no-op — except for two
+        # cases kept on the slow path: empty-host authorities (the reparse
+        # can throw or change the serialization, e.g. "a:x" → "a:///x") and
+        # the slash_end flag a bare "/" path acquires (replicated directly).
+        # Equivalence fuzz-verified over 400k random URLs (tests/test_url.py).
+        s = self.get()
+        if b"%" not in s and (self.m_host or not self.m_has_authority):
+            if self.m_has_authority and not self._path.segmt and self._path.slash_begin:
+                self._path.slash_end = True
+            self._path.normalize()
+            return self
         self.normalize_escapes()
         self._path.normalize()
         return self

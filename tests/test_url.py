@@ -224,6 +224,45 @@ def test_unescape_safe_keeps_reserved():
     assert unescape_all(b"%2F%61%00") == b"/a\x00"
 
 
+def test_normalize_fast_path_equivalence():
+    """The no-'%' fast path in Url.normalize must match the full
+    serialize-reparse path (normalize_escapes) exactly."""
+    import random
+    import string
+
+    rng = random.Random(1234)
+    chars = string.ascii_letters + string.digits + ":/?#@.~!$&'()*+,;=- []%7e"
+
+    def slow_normalize(u):
+        u.normalize_scheme()
+        u.normalize_host()
+        u.normalize_escapes()
+        u._path.normalize()
+        return u
+
+    checked = 0
+    for _ in range(20000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 25)))
+        try:
+            fast = Url(s)
+        except Exception:
+            continue
+        slow = fast.copy()
+        try:
+            slow_out = slow_normalize(slow).get()
+            slow_err = None
+        except Exception as e:
+            slow_out, slow_err = None, type(e)
+        try:
+            fast_out = fast.normalize().get()
+            fast_err = None
+        except Exception as e:
+            fast_out, fast_err = None, type(e)
+        assert (slow_out, slow_err) == (fast_out, fast_err), s
+        checked += 1
+    assert checked > 5000
+
+
 def test_normalized_url_is_join_key():
     variants = [
         "http://ExAmPle.com/a/../b",
