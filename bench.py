@@ -36,7 +36,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_FRONTIER = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", str(int(200_000_000 * SF))))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(10_000_000 * SF))))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(3_000_000 * SF))))
+# realistic page weight: ~5 KB of HTML per page (real crawl pages are 10-100 KB)
+PAGE_RICHNESS = int(os.environ.get("SPARK_GRAFT_PAGE_RICHNESS", "8"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 
@@ -50,6 +52,7 @@ def make_session(cores: int, name: str):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "8388608")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -89,9 +92,22 @@ def gen_inputs(spark, n_frontier: int, n_pages: int, out_dir: str) -> None:
         ).alias("url")
     )
     seen.write.mode("overwrite").parquet(f"{out_dir}/seen")
-    synth.pages_df(spark, n_pages, max(CPUS * 4, 32)).write.mode("overwrite").parquet(
-        f"{out_dir}/pages"
-    )
+    synth.pages_df(spark, n_pages, max(CPUS * 4, 32), extra_paras=PAGE_RICHNESS).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/pages")
+
+
+
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
+def _steal_pct(before, after):
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 2) if dt else 0.0
 
 
 def _warmup(spark) -> None:
@@ -180,7 +196,45 @@ def extract_job(spark, data_dir: str) -> dict:
 
 
 def _best(job, spark, data_dir, runs=2, **kw):
-    return min((job(spark, data_dir, **kw) for _ in range(runs)), key=lambda r: r["wall_sec"])
+    results = []
+    for _ in range(runs):
+        s0 = _cpu_stat()
+        r = job(spark, data_dir, **kw)
+        r["cpu_steal_pct"] = _steal_pct(s0, _cpu_stat())
+        results.append(r)
+    return min(results, key=lambda r: r["wall_sec"])
+
+
+
+def _envelope_work(args):
+    lo, hi = args
+    from mycelium_spark.functions.lexer import html_lex
+    from mycelium_spark.sources import synth
+    n = 0
+    for i in range(lo, hi):
+        n += len(html_lex(synth.page_html(i, 100000, 4), synth.url_of(i)).text)
+    return n
+
+
+def python_envelope(small: int, large: int, n: int = 24000) -> dict:
+    """Control experiment: the box's raw-multiprocessing python scaling for
+    the same CPU-bound kernel, OUTSIDE Spark. On SMT/oversubscribed hosts
+    this is < 1.0 and bounds what any executor engine can achieve; stage
+    efficiencies should be read relative to it."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (small, large):
+        chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_envelope_work, chunks)
+        out[procs] = n / (time.time() - t0)
+    return {
+        "pages_per_sec_small": round(out[small], 1),
+        "pages_per_sec_large": round(out[large], 1),
+        "efficiency": round(out[large] / out[small] / (large / small), 3),
+    }
 
 
 def main() -> None:
@@ -224,8 +278,8 @@ def main() -> None:
                 s = make_session(cores, f"bench-{cores}")
                 _warmup(s)
                 walls[cores] = {
-                    "schedule_dedup": _best(schedule_dedup_job, s, tmp)["wall_sec"],
-                    "extract": _best(extract_job, s, tmp)["wall_sec"],
+                    "schedule_dedup": _best(schedule_dedup_job, s, tmp, runs=3)["wall_sec"],
+                    "extract": _best(extract_job, s, tmp, runs=3)["wall_sec"],
                 }
                 s.stop()
             scaling = {"cores_small": small, "cores_large": CPUS}
@@ -248,6 +302,13 @@ def main() -> None:
                 "wall_large_sec": round(w_l, 3),
                 "efficiency": round(w_s / w_l / ratio, 3),
             }
+            env = python_envelope(small, CPUS)
+            scaling["python_multiprocessing_envelope"] = env
+            if env["efficiency"] > 0:
+                for stage in ("schedule_dedup", "extract", "round_combined"):
+                    scaling[stage]["efficiency_vs_envelope"] = round(
+                        scaling[stage]["efficiency"] / env["efficiency"], 3
+                    )
             result["scaling"] = scaling
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

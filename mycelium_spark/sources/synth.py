@@ -55,8 +55,13 @@ def _sentence(page_id: int, k: int, n: int = 6) -> str:
     return " ".join(_WORDS[(page_id * 13 + k * 7 + j) % len(_WORDS)] for j in range(n))
 
 
-def page_html(page_id: int, n_pages: int) -> bytes:
-    """Deterministic HTML for one page (links reference other page ids)."""
+def page_html(page_id: int, n_pages: int, extra_paras: int = 0) -> bytes:
+    """Deterministic HTML for one page (links reference other page ids).
+
+    ``extra_paras`` pads the body with additional paragraphs/lists to reach
+    realistic web-page sizes (the default synthetic page is ~0.5 KB; real
+    crawl pages are 10-100x that) — used by the benchmark corpus.
+    """
     i = page_id
     parts = [f"<html><head><title>Page {i} — {_sentence(i, 0, 3)}</title>"]
     if i % 5 == 0:
@@ -102,13 +107,24 @@ def page_html(page_id: int, n_pages: int) -> bytes:
         parts.append(f'<li><a href="{url_of((i * 7 + 5) % n_pages)}" rel="nofollow">nf</a></li>')
     if i % 21 == 0:
         parts.append(f'<iframe src="http://dangling{i % 50:02d}.offsite.example/frame"></iframe>')
-    parts.append("</ul></body></html>")
+    parts.append("</ul>")
+    for p in range(extra_paras):
+        parts.append(f"<h1>{_sentence(i, 10 + p, 4)}</h1>")
+        parts.append(
+            f"<p>{_sentence(i, 20 + p, 18)} &amp; {_sentence(i, 40 + p, 18)},"
+            f" &#{65 + (i + p) % 26}; {_sentence(i, 60 + p, 18)}</p>"
+        )
+        parts.append(
+            f"<ul><li>{_sentence(i, 80 + p, 9)}</li><li>{_sentence(i, 100 + p, 9)}"
+            f"<span> s{p}</span></li></ul>"
+        )
+    parts.append("</body></html>")
     return "".join(parts).encode("utf-8")
 
 
-def page_row(page_id: int, n_pages: int) -> dict:
+def page_row(page_id: int, n_pages: int, extra_paras: int = 0) -> dict:
     url = url_of(page_id)
-    html = page_html(page_id, n_pages)
+    html = page_html(page_id, n_pages, extra_paras)
     text = html_lex(html, url).text.decode("utf-8")
     return {
         "url": url,
@@ -119,11 +135,11 @@ def page_row(page_id: int, n_pages: int) -> dict:
     }
 
 
-def pages_pdf(page_ids, n_pages: int) -> pd.DataFrame:
-    return pd.DataFrame([page_row(int(i), n_pages) for i in page_ids])
+def pages_pdf(page_ids, n_pages: int, extra_paras: int = 0) -> pd.DataFrame:
+    return pd.DataFrame([page_row(int(i), n_pages, extra_paras) for i in page_ids])
 
 
-def pages_df(spark, n_pages: int, parallelism: int | None = None):
+def pages_df(spark, n_pages: int, parallelism: int | None = None, extra_paras: int = 0):
     """Distributed generation: spark.range → mapInPandas (scales linearly)."""
     from pyspark.sql.types import (
         BinaryType,
@@ -146,7 +162,7 @@ def pages_df(spark, n_pages: int, parallelism: int | None = None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield pages_pdf(b["id"].tolist(), n_pages)
+            yield pages_pdf(b["id"].tolist(), n_pages, extra_paras)
 
     return rng.mapInPandas(gen, schema)
 
