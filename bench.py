@@ -60,6 +60,14 @@ def make_session(cores: int, name: str):
     )
 
 
+def _session(cores: int, name: str):
+    spark = make_session(cores, name)
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ensure_workers_have_package(spark)
+    return spark
+
+
 def gen_inputs(spark, n_frontier: int, n_pages: int, out_dir: str) -> None:
     """Deterministic synthetic frontier + seen set (JVM expressions) and
     pages corpus (distributed mapInPandas, pure function of row id)."""
@@ -244,7 +252,7 @@ def main() -> None:
     t_total = time.time()
     tmp = tempfile.mkdtemp(prefix="mycelium_bench_")
     try:
-        spark = make_session(CPUS, "bench-main")
+        spark = _session(CPUS, "bench-main")
         gen_inputs(spark, N_FRONTIER, N_PAGES, tmp)
         _warmup(spark)
 
@@ -275,7 +283,7 @@ def main() -> None:
             small = CPUS // 4
             walls = {}
             for cores in (small, CPUS):
-                s = make_session(cores, f"bench-{cores}")
+                s = _session(cores, f"bench-{cores}")
                 _warmup(s)
                 walls[cores] = {
                     "schedule_dedup": _best(schedule_dedup_job, s, tmp, runs=3)["wall_sec"],
