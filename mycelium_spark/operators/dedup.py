@@ -19,7 +19,7 @@ shingle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MOD = (1 << 31) - 1  # universal-hash modulus (fits both engines' BIGINT)
