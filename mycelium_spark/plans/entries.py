@@ -480,6 +480,30 @@ register("doc_fingerprint", quality.fingerprints_sql())(
 register("inverted_index", index.postings_stats_sql())(
     lambda spark, sf_dir: index.postings_stats(_read(spark, sf_dir, "documents"))
 )
+
+
+# rows-only entries (no SQL oracle — the stemmer and the media stub are not
+# SQL-expressible; the driver records the weaker rows-only check)
+@register("stemmed_postings", None)
+def stemmed_postings_q(spark, sf_dir):
+    return index.stemmed_postings(_read(spark, sf_dir, "documents")).select(
+        "term", "df", "total_tf"
+    )
+
+
+@register("multimodal_features", None)
+def multimodal_features_q(spark, sf_dir):
+    """Binary-column feature extraction: documents' utf-8 bytes as blobs."""
+    from ..operators.multimodal import extract_features
+
+    blobs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("blob_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    return extract_features(blobs, dim=8).select(
+        "blob_id", F.round(F.col("feat_norm"), 4).alias("feat_norm")
+    )
 register("tf_idf", index.tf_idf_sql())(
     lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))
 )
