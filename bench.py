@@ -140,13 +140,11 @@ def _warmup(spark) -> None:
     ).select(F.sum(F.length("e.text"))).collect()
 
 
-def schedule_dedup_job(spark, data_dir: str, per_host_budget: int = 4096,
-                       with_bloom: bool = False) -> dict:
+def schedule_dedup_job(spark, data_dir: str, per_host_budget: int = 4096) -> dict:
     """Politeness window + seen-dedup join — all JVM, one action."""
     from pyspark.sql import functions as F
 
     from mycelium_spark.operators.frontier import politeness_schedule
-    from mycelium_spark.operators.seen import BloomSeen, new_urls
 
     frontier = spark.read.parquet(f"{data_dir}/frontier")
     seen = spark.read.parquet(f"{data_dir}/seen")
@@ -158,22 +156,83 @@ def schedule_dedup_job(spark, data_dir: str, per_host_budget: int = 4096,
         F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0)).alias("new"),
     ).collect()[0]
     wall = time.time() - t0
-    out = {
+    return {
         "wall_sec": round(wall, 3),
         "scheduled": int(row["sched"]),
         "new": int(row["new"]),
     }
-    if with_bloom:
-        # at-scale variant: sharded-Bloom prefilter + exact confirm join
-        # (the 10^10 design where the seen set is too large to shuffle each
-        # round); locally the pandas-UDF membership test caps it
-        t1 = time.time()
-        bloom = BloomSeen(num_bits=1 << 26, num_hashes=5)
-        bloom.add_df(seen, "url")
-        n_bloom = new_urls(scheduled.select("url"), seen, bloom, "url").count()
-        out["wall_bloom_path_sec"] = round(time.time() - t1, 3)
-        assert n_bloom == out["new"]
+
+
+def dedup_variants_job(spark, data_dir: str, shard_dir: str) -> dict:
+    """Seen-dedup strategy comparison on the same candidate set.
+
+    exact_anti    — candidates ⟕̸ seen (shuffles BOTH sides every round);
+    bloom_confirm — sharded-Bloom prefilter + exact confirm anti-join
+                    (exact output; seen still shuffles for the confirm);
+    bloom_approx  — prefilter only (the 10^10 mode: seen is NEVER
+                    shuffled; drops FP-rate worth of new URLs — measured
+                    and reported as fp_dropped).
+    """
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.operators.seen import BloomSeen, new_urls
+
+    frontier = spark.read.parquet(f"{data_dir}/frontier")
+    seen = spark.read.parquet(f"{data_dir}/seen")
+    cand = frontier.select("url")
+    out: dict = {}
+
+    t0 = time.time()
+    n_exact = new_urls(cand, seen, None).count()
+    out["exact_anti"] = {"wall_sec": round(time.time() - t0, 3), "new": n_exact}
+
+    t0 = time.time()
+    bloom = BloomSeen(num_bits=1 << 24, num_hashes=5, n_shards=8, shard_dir=shard_dir)
+    bloom.add_df(seen, "url")
+    out["bloom_build_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_confirm = new_urls(cand, seen, bloom).count()
+    out["bloom_confirm"] = {"wall_sec": round(time.time() - t0, 3), "new": n_confirm}
+
+    t0 = time.time()
+    n_approx = new_urls(cand, seen, bloom, confirm=False).count()
+    out["bloom_approx"] = {
+        "wall_sec": round(time.time() - t0, 3),
+        "new": n_approx,
+        "fp_dropped": n_exact - n_approx,
+        "fp_rate": round((n_exact - n_approx) / max(n_exact, 1), 6),
+    }
+    assert n_confirm == n_exact
     return out
+
+
+def assign_seq_job(spark, data_dir: str, n_rows: int, legacy: bool = False) -> dict:
+    """Dense-seq assignment over the frontier: the JVM plan vs the removed
+    rdd.zipWithIndex implementation (kept inline here as the control)."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.operators.frontier import assign_seq
+
+    # filter, not limit: GlobalLimit would gather to one partition
+    df = (
+        spark.read.parquet(f"{data_dir}/frontier")
+        .filter(F.col("seq") < n_rows)
+        .select("url", "host", "seq")
+    )
+    t0 = time.time()
+    if legacy:
+        sdf = df.orderBy("seq")
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        rdd = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+        schema = StructType(list(sdf.schema.fields) + [StructField("seq2", LongType(), False)])
+        n = spark.createDataFrame(rdd, schema).agg(F.max("seq2")).collect()[0][0]
+    else:
+        n = assign_seq(df, ["seq"], 0, seq_col="seq2").agg(F.max("seq2")).collect()[0][0]
+    wall = time.time() - t0
+    return {"wall_sec": round(wall, 3), "rows": int(n) + 1,
+            "rows_per_sec": round((int(n) + 1) / wall, 1)}
 
 
 def extract_job(spark, data_dir: str) -> dict:
@@ -246,17 +305,21 @@ def python_envelope(small: int, large: int, n: int = 24000) -> dict:
 
 
 def main() -> None:
+    """ONE protocol for every reported number (round-1 shipped a headline
+    measured in a hot session that disagreed 2-3.5x with its own scaling
+    legs): each (cores, job) leg runs in a FRESH session, warmed up, best
+    of 3. The headline IS the large-cores scaling leg — they cannot
+    disagree because they are the same measurement."""
     import __spark_entry__ as entry_mod
 
     result: dict = {"sf": SF, "unit": "sec"}
     t_total = time.time()
     tmp = tempfile.mkdtemp(prefix="mycelium_bench_")
     try:
-        spark = _session(CPUS, "bench-main")
+        # --- session 0: input generation + per-query timings at SF_DIR ---
+        spark = _session(CPUS, "bench-queries")
         gen_inputs(spark, N_FRONTIER, N_PAGES, tmp)
         _warmup(spark)
-
-        # --- per-query timings at SF_DIR ---
         queries = entry_mod.queries()
         qtimes: dict[str, float] = {}
         for name in sorted(queries):
@@ -264,10 +327,31 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.time() - t0, 3)
         result["queries"] = qtimes
+        spark.stop()
 
-        # --- headline throughputs at full parallelism ---
-        fj = _best(schedule_dedup_job, spark, tmp, with_bloom=True)
-        ej = _best(extract_job, spark, tmp)
+        # --- measurement legs: fresh session per core count, best-of-3 ---
+        small = CPUS // 4
+        core_list = [CPUS] if (SKIP_SCALING or CPUS < 8) else [small, CPUS]
+        walls: dict[int, dict] = {}
+        for cores in core_list:
+            s = _session(cores, f"bench-{cores}")
+            _warmup(s)
+            walls[cores] = {
+                "schedule_dedup": _best(schedule_dedup_job, s, tmp, runs=3),
+                "extract": _best(extract_job, s, tmp, runs=3),
+            }
+            if cores == CPUS:
+                # one-shot evidence legs, same fresh session after the timed runs
+                result["dedup_variants"] = dedup_variants_job(s, tmp, f"{tmp}/bloom_shards")
+                result["assign_seq"] = {
+                    "jvm": assign_seq_job(s, tmp, N_FRONTIER),
+                    "legacy_python_rdd": assign_seq_job(
+                        s, tmp, max(N_FRONTIER // 10, 100_000), legacy=True
+                    ),
+                }
+            s.stop()
+
+        fj, ej = walls[CPUS]["schedule_dedup"], walls[CPUS]["extract"]
         result["frontier"] = {
             "rows": N_FRONTIER, "cores": CPUS, **fj,
             "urls_per_sec": round(N_FRONTIER / fj["wall_sec"], 1),
@@ -276,35 +360,23 @@ def main() -> None:
             "cores": CPUS, **ej,
             "pages_per_sec": round(ej["pages"] / ej["wall_sec"], 1),
         }
-        spark.stop()
 
-        # --- scaling: same jobs, same inputs, N/4 vs N cores ---
-        if not SKIP_SCALING and CPUS >= 8:
-            small = CPUS // 4
-            walls = {}
-            for cores in (small, CPUS):
-                s = _session(cores, f"bench-{cores}")
-                _warmup(s)
-                walls[cores] = {
-                    "schedule_dedup": _best(schedule_dedup_job, s, tmp, runs=3)["wall_sec"],
-                    "extract": _best(extract_job, s, tmp, runs=3)["wall_sec"],
-                }
-                s.stop()
+        if len(core_list) == 2:
             scaling = {"cores_small": small, "cores_large": CPUS}
             ratio = CPUS / small
             for stage, unit_rows in (
                 ("schedule_dedup", N_FRONTIER),
                 ("extract", N_PAGES),
             ):
-                thr_s = unit_rows / walls[small][stage]
-                thr_l = unit_rows / walls[CPUS][stage]
+                thr_s = unit_rows / walls[small][stage]["wall_sec"]
+                thr_l = unit_rows / walls[CPUS][stage]["wall_sec"]
                 scaling[stage] = {
                     "throughput_small": round(thr_s, 1),
                     "throughput_large": round(thr_l, 1),
                     "efficiency": round(thr_l / thr_s / ratio, 3),
                 }
-            w_s = walls[small]["schedule_dedup"] + walls[small]["extract"]
-            w_l = walls[CPUS]["schedule_dedup"] + walls[CPUS]["extract"]
+            w_s = walls[small]["schedule_dedup"]["wall_sec"] + walls[small]["extract"]["wall_sec"]
+            w_l = walls[CPUS]["schedule_dedup"]["wall_sec"] + walls[CPUS]["extract"]["wall_sec"]
             scaling["round_combined"] = {
                 "wall_small_sec": round(w_s, 3),
                 "wall_large_sec": round(w_l, 3),

@@ -156,7 +156,7 @@ def _verify_jaccard(docs, pairs, k, threshold, text_col, id_col):
     shingle_sets = docs.select(
         F.col(id_col),
         F.expr("array_distinct(" + shingles_expr(f"split({text_col}, ' ')", k) + ")").alias("ss"),
-    )
+    ).cache()  # joined on BOTH pair sides — without this the shingling runs twice
     return (
         pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a")
         .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("ss", "ss_b"), "id_b")
@@ -215,48 +215,80 @@ WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
 
 
 # -------------------------------------------------------------- simhash ---
-N_SIM_BITS = 28
+# 64-bit signature carried as two 32-bit halves (sim_lo, sim_hi): bit 63
+# of a single BIGINT would overflow the sign in both engines, and two
+# halves keep every term exact. Banding is 4 x 16 bits (65,536 distinct
+# values per band) — round 1 shipped 4 x 7 bits (128 values/band) whose
+# O(n^2/128) candidate join was the flagged scale-killer.
+N_SIM_BITS = 64
+_SIM_BANDS = 4
+_BAND_BITS = 16
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """28-bit SimHash per doc from md5-derived token hashes (JVM-only)."""
+    """64-bit SimHash per doc from md5-derived token hashes (JVM-only).
+
+    Returns (doc_id, sim_lo, sim_hi): bits 0-31 voted from the first
+    32-bit md5 half per token, bits 32-63 from the second half.
+    """
     toks = docs.select(
         id_col, F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", _hash28(F.col("tok")))
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("hl"),
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long").alias("hh"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(N_SIM_BITS)
+            F.when(F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{half * 32 + b}")
+        for half, src in ((0, "hl"), (1, "hh"))
+        for b in range(32)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    sig = None
-    for b in range(N_SIM_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.cast("long").alias("simhash"))
+    halves = []
+    for half in range(2):
+        sig = None
+        for b in range(32):
+            term = F.when(F.col(f"v{half * 32 + b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        halves.append(sig.cast("long"))
+    return agg.select(id_col, halves[0].alias("sim_lo"), halves[1].alias("sim_hi"))
+
+
+def _sim_band_cols():
+    """4 x 16-bit band values: two from each 32-bit half."""
+    out = []
+    for bi in range(_SIM_BANDS):
+        src = "sim_lo" if bi < 2 else "sim_hi"
+        shift = _BAND_BITS * (bi % 2)
+        out.append(
+            F.shiftright(F.col(src), shift).bitwiseAND(F.lit(0xFFFF)).alias(f"b{bi}")
+        )
+    return out
 
 
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs with hamming(simhash64) <= max_hamming.
 
-    Blocking: 4 bands of 7 bits — any pair within hamming 3 agrees on at
-    least one band (pigeonhole), so the candidate join shuffles on the
-    band value, never the pair space.
+    Blocking: 4 bands of 16 bits — any pair within hamming 3 agrees on at
+    least one whole band (pigeonhole), so the candidate join shuffles on
+    the band value, never the pair space. The partial aggregate below the
+    signature exchange is computed once; the self-join reuses the
+    exchange.
     """
-    sig = simhash(docs, text_col, id_col).cache()
-    bands = [
-        (F.shiftright(F.col("simhash"), 7 * bi).bitwiseAND(F.lit(0x7F))).alias(f"b{bi}")
-        for bi in range(4)
-    ]
-    banded = sig.select(id_col, "simhash", *bands)
+    sig = simhash(docs, text_col, id_col)
+    banded = sig.select(id_col, "sim_lo", "sim_hi", *_sim_band_cols())
     melted = banded.select(
         id_col,
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.explode(
-            F.array(*[F.concat_ws("_", F.lit(bi), F.col(f"b{bi}")) for bi in range(4)])
+            F.array(
+                *[F.concat_ws("_", F.lit(bi), F.col(f"b{bi}")) for bi in range(_SIM_BANDS)]
+            )
         ).alias("band"),
     )
     pairs = (
@@ -266,57 +298,94 @@ def simhash_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            (
+                F.bit_count(F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo")))
+                + F.bit_count(F.col("x.sim_hi").bitwiseXOR(F.col("y.sim_hi")))
+            ).alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     return pairs
 
 
 def simhash_sql(max_hamming: int = 3) -> str:
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(N_SIM_BITS)
+        f"sum(CASE WHEN ({src} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{half * 32 + b}"
+        for half, src in ((0, "hl"), (1, "hh"))
+        for b in range(32)
     )
-    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_SIM_BITS))
-    band_union = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, concat_ws('_', '{bi}', (simhash >> {7 * bi}) & 127) AS band FROM sigs"
-        for bi in range(4)
-    )
+    sig_halves = []
+    for half in range(2):
+        sig_halves.append(
+            " + ".join(
+                f"(CASE WHEN v{half * 32 + b} > 0 THEN {1 << b} ELSE 0 END)"
+                for b in range(32)
+            )
+        )
+    band_exprs = []
+    for bi in range(_SIM_BANDS):
+        src = "sim_lo" if bi < 2 else "sim_hi"
+        shift = _BAND_BITS * (bi % 2)
+        band_exprs.append(
+            f"SELECT doc_id, sim_lo, sim_hi, concat_ws('_', '{bi}', ({src} >> {shift}) & 65535) AS band FROM sigs"
+        )
+    band_union = " UNION ALL ".join(band_exprs)
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), hashed AS (
-  SELECT doc_id, {_hash28_sql('tok')} AS h FROM toks
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) AS hl,
+         CAST(('0x' || substr(md5(tok),9,8)) AS BIGINT) AS hh
+  FROM toks
 ), votes AS (
   SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
 ), sigs AS (
-  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+  SELECT doc_id, CAST({sig_halves[0]} AS BIGINT) AS sim_lo,
+         CAST({sig_halves[1]} AS BIGINT) AS sim_hi FROM votes
 ), melted AS ( {band_union} )
 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       bit_count(xor(x.sim_lo, y.sim_lo)) + bit_count(xor(x.sim_hi, y.sim_hi)) AS hamming
 FROM melted x JOIN melted y ON x.band = y.band AND x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+WHERE bit_count(xor(x.sim_lo, y.sim_lo)) + bit_count(xor(x.sim_hi, y.sim_hi)) <= {max_hamming}
 """
 
 
 # -------------------------------------------------- n-gram jaccard --------
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.5,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup: candidates = docs sharing >=1 shingle,
-    then exact Jaccard >= threshold. Complete (no LSH miss) — the exact
-    baseline the probabilistic families are measured against."""
+    then exact Jaccard >= threshold.
+
+    ``max_df=None`` is the complete baseline (no LSH miss) the
+    probabilistic families are measured against. ``max_df=D`` drops
+    shingles shared by more than D documents from the BLOCKING step only
+    (verification still uses the full shingle sets): without it a
+    stopword-shingle shared by m docs creates an m^2 candidate bucket.
+    Completeness condition: a pair is missed only if EVERY shingle it
+    shares has df > D; with threshold t and |union| = u such a pair needs
+    >= ceil(t*u) shared shingles, all df-hot, so for corpora where hot
+    shingles are boilerplate (the web case) the miss rate is ~0 and
+    bounded by P(all >= ceil(t*u) shared shingles have df > D).
+    The hot-shingle set has at most total_occurrences/D members — tiny —
+    and broadcasts into an anti-join, so pruning itself adds no shuffle.
+    """
     shingle_sets = docs.select(
         F.col(id_col),
         F.expr("array_distinct(" + shingles_expr(f"split({text_col}, ' ')", k) + ")").alias("ss"),
-    ).cache()
+    ).cache()  # reused 3x (melt + both verify sides); LRU-evicted after the action
     melted = shingle_sets.select(id_col, F.explode("ss").alias("sh"))
+    if max_df is not None:
+        hot = (
+            melted.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        melted = melted.join(F.broadcast(hot), "sh", "left_anti")
     pairs = (
         melted.alias("x")
         .join(melted.alias("y"), "sh")
@@ -335,17 +404,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(k: int = 3, threshold: float = 0.5, max_df: int | None = None) -> str:
     sh = shingles_sql("toks", k)
+    prune = (
+        f"WHERE sh NOT IN (SELECT sh FROM melted GROUP BY sh HAVING count(*) > {max_df})"
+        if max_df is not None
+        else ""
+    )
     return f"""
 WITH ssets AS (
   SELECT doc_id, list_distinct({sh}) AS ss
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ), melted AS (
   SELECT doc_id, unnest(ss) AS sh FROM ssets
+), pruned AS (
+  SELECT doc_id, sh FROM melted {prune}
 ), pairs AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM melted x JOIN melted y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  FROM pruned x JOIN pruned y ON x.sh = y.sh AND x.doc_id < y.doc_id
 )
 SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM (

@@ -20,8 +20,8 @@ at ~10^7-10^8 hosts this is well distributed; the single pathological case
 (one host with 10^9 queued URLs) is bounded by the budget filter which is
 applied map-side after the shuffle, so only B rows per host survive the
 stage. No global ordering is ever materialized; arrival seq is assigned
-per-round via sort + zipWithIndex (two linear passes, no single-partition
-bottleneck).
+per-round via range-partition + per-partition row_number + prefix-sum
+offsets (one reused exchange, no single-partition bottleneck, no Python).
 """
 
 from __future__ import annotations
@@ -97,17 +97,53 @@ def with_worker_bucket(
     return out.repartition(n_buckets, F.col("bucket"), F.col("salt"))
 
 
-def assign_seq(df: DataFrame, order_cols: list[str], base: int, seq_col: str = "seq") -> DataFrame:
-    """Deterministic dense sequence without a single-partition window.
+def assign_seq(
+    df: DataFrame, order_cols: list[str], base: int, seq_col: str = "seq",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic dense sequence — JVM-only, no single-partition window.
 
-    Sorts by ``order_cols`` (range partitioner → balanced) and uses
-    ``zipWithIndex`` (computes per-partition offsets in one extra job).
+    Plan (all Catalyst, zero Python in the row path):
+
+    1. range-repartition by ``order_cols`` (sampled bounds → balanced) and
+       sort within partitions — rows are now in global order, partitioned;
+    2. ``monotonically_increasing_id()`` evaluated NARROWLY after the sort
+       yields ``(partition_id << 33) + intra-partition row index`` (the
+       documented bit layout), so the local dense rank is
+       ``mid - (pid << 33)`` — no window, no second full-row exchange;
+    3. per-partition counts shuffle ONE partial-agg row per partition; an
+       exclusive prefix sum over those ``n_parts`` rows (single-task
+       window over the tiny aggregate, not over the data) gives offsets;
+    4. broadcast-join offsets back: ``seq = base + offset + local_rank``.
+
+    Counts are sort-invariant (partition sizes only), so the pruned
+    recompute of the range exchange in the counts branch cannot disagree
+    with the main branch. This replaces the former ``rdd.zipWithIndex``
+    implementation that serialized every row driver-format -> Python ->
+    JVM in the crawl round hot path.
     """
     spark = df.sparkSession
-    sdf = df.orderBy(*order_cols)
-    schema = sdf.schema
-    rdd = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], base + t[1]))
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(list(schema.fields) + [StructField(seq_col, LongType(), False)])
-    return spark.createDataFrame(rdd, out_schema)
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = [F.col(c) for c in order_cols]
+    sdf = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sdf.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    return (
+        sdf.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            seq_col,
+            F.lit(base).cast("long")
+            + F.col("_off")
+            + (F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)),
+        )
+        .drop("_mid", "_pid", "_off")
+    )

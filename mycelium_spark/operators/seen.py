@@ -4,23 +4,33 @@ Replaces the reference's Mongo upsert-by-url dedup (Doc.cc:21,79) per the
 north star: a Bloom filter over the seen set is built with JVM-side hashing
 (``xxhash64`` — no Python in the hash path), its set-bit indices are
 aggregated distributed (shuffle scales with DISTINCT BITS, not with the
-bitmap or the set), OR-merged on the driver and broadcast back; candidate
-URLs are prefiltered with a vectorized numpy membership test and only the
-maybe-seen survivors pay the exact ``left_anti`` join.
+bitmap or the set), merged and either broadcast (single shard) or spilled
+to per-shard bitmap files (sharded); candidate URLs are prefiltered with a
+vectorized numpy membership test and only the maybe-seen survivors pay the
+exact ``left_anti`` join.
 
 The Bloom is strictly a PREFILTER: exact set parity is guaranteed by the
 confirm join (a Bloom positive never drops a truly-new URL silently, and
 Bloom negatives are definitively new).
 
-Scale notes: at 10^10 seen URLs a single broadcast bitmap no longer fits
-(~12 GB at 10 bits/key); the same construction then shards by
-``pmod(xxhash64(url), n_shards)`` with one bitmap per shard, each executor
-holding only the shards of its hash range — n_shards here is configurable
-and the membership UDF already applies the shard arithmetic. For the
-sandbox sizes one shard suffices.
+Sharding (the 10^10 design point): at 10^10 seen URLs a single broadcast
+bitmap no longer fits (~12 GB at 10 bits/key). ``n_shards=K`` splits the
+key space by ``pmod(xxhash64(url), K)``; each shard owns an independent
+``num_bits`` bitmap persisted to ``shard_dir``. Membership repartitions
+candidates BY SHARD, so a task loads exactly one shard bitmap (worker-side
+cache keyed by the versioned filename — bitmaps are immutable once
+written), i.e. each executor holds only the shards of its hash range, never
+the whole filter. ``shard_dir`` must be storage every executor can read
+(local disk in local mode; NFS/fuse-mounted object store on a cluster).
+The build aggregates (shard, word, bits) JVM-side with map-side partial
+``bit_or`` and streams one shard at a time through the driver
+(``toLocalIterator`` over shard-sorted words), so peak driver memory is
+one shard's bitmap, not the filter.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -28,13 +38,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
+# worker-side cache of loaded shard bitmaps; filenames are versioned so a
+# stale entry can never be read (files are write-once per version)
+_SHARD_CACHE: dict[str, np.ndarray] = {}
+
+
+def _load_shard(path: str) -> np.ndarray:
+    arr = _SHARD_CACHE.get(path)
+    if arr is None:
+        # evict older versions of the same shard so the cache stays O(shards
+        # this worker owns), not O(shards x versions)
+        prefix = path.rsplit(".v", 1)[0] + ".v"
+        for k in [k for k in _SHARD_CACHE if k.startswith(prefix)]:
+            del _SHARD_CACHE[k]
+        arr = np.load(path)
+        _SHARD_CACHE[path] = arr
+    return arr
+
 
 class BloomSeen:
-    def __init__(self, num_bits: int = 1 << 22, num_hashes: int = 5):
+    def __init__(
+        self,
+        num_bits: int = 1 << 22,
+        num_hashes: int = 5,
+        n_shards: int = 1,
+        shard_dir: str | None = None,
+    ):
         assert num_bits % 64 == 0
-        self.num_bits = num_bits
+        self.num_bits = num_bits  # per shard
         self.num_hashes = num_hashes
-        self.bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        self.n_shards = n_shards
+        self.shard_dir = shard_dir
+        self.version = 0
+        if n_shards == 1:
+            self.bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        else:
+            if shard_dir is None:
+                raise ValueError("n_shards > 1 requires shard_dir")
+            os.makedirs(shard_dir, exist_ok=True)
+            self.bits = None
 
     # k index expressions, all JVM-side: xxhash64(j, url) % num_bits
     def _index_cols(self, col):
@@ -43,40 +85,92 @@ class BloomSeen:
             for j in range(self.num_hashes)
         ]
 
-    def add_df(self, df: DataFrame, url_col: str = "url") -> None:
-        """OR the URLs of ``df`` into the bitmap (distributed).
+    def _shard_col(self, col):
+        # seed 777 keeps the shard hash independent of the k index hashes
+        return F.pmod(F.xxhash64(F.lit(777), col), F.lit(self.n_shards)).cast("int")
 
-        Bits are OR-combined JVM-side per 64-bit word (``bit_or`` aggregate
-        with map-side partial aggregation), so the driver collects at most
-        ``num_bits/64`` (word, bits) pairs regardless of set size.
-        """
+    def _shard_path(self, shard: int, version: int | None = None) -> str:
+        v = self.version if version is None else version
+        return os.path.join(self.shard_dir, f"shard_{shard}.v{v}.npy")
+
+    def _words_df(self, df: DataFrame, url_col: str) -> DataFrame:
+        """(shard, w, bits) — distinct set-bit words, bit_or-combined JVM-side
+        with map-side partial aggregation; at most n_shards * num_bits/64 rows
+        regardless of input size."""
+        idx = F.explode(F.array(*self._index_cols(F.col(url_col)))).alias("i")
+        return (
+            df.select(self._shard_col(F.col(url_col)).alias("shard"), idx)
+            .selectExpr(
+                "shard",
+                "shiftright(i, 6) AS w",
+                "shiftleft(CAST(1 AS BIGINT), CAST(i & 63 AS INT)) AS b",
+            )
+            .groupBy("shard", "w")
+            .agg(F.expr("bit_or(b)").alias("bits"))
+        )
+
+    def add_df(self, df: DataFrame, url_col: str = "url") -> None:
+        """OR the URLs of ``df`` into the filter (distributed build)."""
         spark = df.sparkSession
         arrow_was = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         try:
-            idx = F.explode(F.array(*self._index_cols(F.col(url_col)))).alias("i")
-            words = (
-                df.select(idx)
-                .selectExpr(
-                    "shiftright(i, 6) AS w",
-                    "shiftleft(CAST(1 AS BIGINT), CAST(i & 63 AS INT)) AS b",
-                )
-                .groupBy("w")
-                .agg(F.expr("bit_or(b)").alias("bits"))
-                .toPandas()
-            )
+            if self.n_shards == 1:
+                words = self._words_df(df, url_col).drop("shard").toPandas()
+                if len(words):
+                    w = words["w"].to_numpy(dtype=np.int64)
+                    b = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+                    np.bitwise_or.at(self.bits, w, b)
+                return
+            # sharded: stream shard-sorted words; hold ONE shard bitmap at a time
+            old_version = self.version
+            self.version += 1
+            it = self._words_df(df, url_col).orderBy("shard", "w").toLocalIterator()
+            cur_shard, cur_bits = None, None
+            written: set[int] = set()
+
+            def flush():
+                if cur_shard is not None:
+                    np.save(self._shard_path(cur_shard), cur_bits)
+                    written.add(cur_shard)
+
+            for row in it:
+                s = int(row["shard"])
+                if s != cur_shard:
+                    flush()
+                    cur_shard, cur_bits = s, self._load_or_zero(s, old_version)
+                word, bits = int(row["w"]), np.uint64(np.int64(row["bits"]))
+                cur_bits[word] |= bits
+            flush()
+            # Carry forward untouched shards by HARDLINK and keep the previous
+            # version's files intact: prefilter plans are lazy, so a plan built
+            # against version v may execute after an add_df bumped to v+1 (the
+            # crawl round does exactly this). Only v-1 is stale by then.
+            for s in range(self.n_shards):
+                old = self._shard_path(s, old_version)
+                if s not in written and os.path.exists(old):
+                    os.link(old, self._shard_path(s))
+                stale = self._shard_path(s, old_version - 1)
+                if old_version >= 1 and os.path.exists(stale):
+                    os.remove(stale)
         finally:
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", arrow_was)
-        if len(words):
-            w = words["w"].to_numpy(dtype=np.int64)
-            b = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
-            np.bitwise_or.at(self.bits, w, b)
+
+    def _load_or_zero(self, shard: int, version: int) -> np.ndarray:
+        p = self._shard_path(shard, version)
+        if os.path.exists(p):
+            return np.load(p).copy()
+        return np.zeros(self.num_bits // 64, dtype=np.uint64)
 
     def prefilter(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
         """Adds ``maybe_seen`` (bool). False → definitively new."""
+        if self.n_shards == 1:
+            return self._prefilter_broadcast(candidates, url_col)
+        return self._prefilter_sharded(candidates, url_col)
+
+    def _prefilter_broadcast(self, candidates: DataFrame, url_col: str) -> DataFrame:
         spark = candidates.sparkSession
         bits_b = spark.sparkContext.broadcast(self.bits)
-        nb = self.num_bits
 
         def member(*cols: pd.Series) -> pd.Series:
             bits = bits_b.value
@@ -92,14 +186,68 @@ class BloomSeen:
         icols = self._index_cols(F.col(url_col))
         return candidates.withColumn("maybe_seen", member_udf(*icols))
 
+    def _prefilter_sharded(self, candidates: DataFrame, url_col: str) -> DataFrame:
+        """Shard-local membership: repartition by shard, then each task reads
+        exactly its shard's bitmap file (worker-cached). No broadcast of the
+        filter, no Python in the hash path — only the vectorized bit test."""
+        from pyspark.sql.types import StructField, StructType
+
+        paths = {s: self._shard_path(s) for s in range(self.n_shards)}
+        existing = {s: p for s, p in paths.items() if os.path.exists(p)}
+        k = self.num_hashes
+        in_cols = candidates.columns
+        with_keys = candidates.select(
+            *in_cols,
+            self._shard_col(F.col(url_col)).alias("_shard"),
+            *self._index_cols(F.col(url_col)),
+        ).repartition(self.n_shards, F.col("_shard"))
+        out_schema = StructType(
+            list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                result = np.zeros(n, dtype=bool)
+                shards = pdf["_shard"].to_numpy(dtype=np.int64)
+                idx_mat = np.stack(
+                    [pdf[f"_b{j}"].to_numpy(dtype=np.int64) for j in range(k)], axis=1
+                )
+                for s in np.unique(shards):
+                    path = existing.get(int(s))
+                    mask = shards == s
+                    if path is None:
+                        continue  # empty shard → definitively new
+                    bits = _load_shard(path)
+                    idx = idx_mat[mask]
+                    word = idx >> 6
+                    bit = np.uint64(1) << (idx & 63).astype(np.uint64)
+                    result[mask] = ((bits[word] & bit) != 0).all(axis=1)
+                out = pdf[in_cols].copy()
+                out["maybe_seen"] = result
+                yield out
+
+        return with_keys.mapInPandas(run, out_schema)
+
 
 def new_urls(
     candidates: DataFrame,
     seen: DataFrame | None,
     bloom: BloomSeen | None,
     url_col: str = "url",
+    confirm: bool = True,
 ) -> DataFrame:
-    """candidates ∖ seen — Bloom prefilter + exact confirm anti-join."""
+    """candidates ∖ seen — Bloom prefilter + exact confirm anti-join.
+
+    ``confirm=False`` is the APPROXIMATE at-scale mode: Bloom-maybe rows
+    are treated as seen without the confirm join, so the seen table is
+    never shuffled at all — the dedup cost becomes O(candidates), not
+    O(candidates + seen). The price is dropping false-positive-rate worth
+    of genuinely-new URLs (sized by num_bits; ~0.5% at 13 bits/key), which
+    a crawler frontier tolerates. Exact-parity callers keep the default.
+    """
     if seen is None:
         return candidates
     if bloom is None:
@@ -109,6 +257,8 @@ def new_urls(
     # churn executor memory in round loops — callers cache `candidates`.
     pref = bloom.prefilter(candidates, url_col)
     fresh = pref.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    if not confirm:
+        return fresh
     maybe = pref.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = maybe.join(seen.select(url_col), url_col, "left_anti")
     return fresh.unionByName(confirmed)

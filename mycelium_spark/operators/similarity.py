@@ -173,3 +173,132 @@ LIMIT {k}
 def deterministic_query(dim: int = 64, seed: int = 1234) -> list[float]:
     """A fixed query vector for tests/benchmarks."""
     return [round(x, 6) for x in _lcg_floats(dim, seed)]
+
+
+# ------------------------------------------------ bucketed ANN storage ----
+def build_ann_index(
+    emb: DataFrame, path: str, n_planes: int = 6,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> None:
+    """Write the embedding table PARTITIONED BY its LSH bucket.
+
+    A probe then reads only the probed buckets' files (partition pruning —
+    the scan's PartitionFilters carry ``bucket IN (...)``), which is the
+    100 TB path: probing b buckets of 2^p total scans b/2^p of the table
+    instead of computing every row's bucket per query (round-1 ann_topk).
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    planes = hyperplanes(n_planes, dim)
+    (
+        emb.withColumn("bucket", F.expr(bucket_expr(vec_col, planes)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_indexed(
+    spark, path: str, query: list[float], k: int = 10, n_planes: int = 6,
+    multiprobe: int = 1, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over the bucket-partitioned index: partition-pruned scan of
+    the probe buckets only, then exact cosine + TakeOrderedAndProject."""
+    planes = hyperplanes(n_planes, len(query))
+    qb = query_bucket(query, planes)
+    probe = {qb}
+    if multiprobe >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probe |= {qb ^ (1 << i) ^ (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)}
+    qn = _qnorm(query)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(*sorted(probe)))
+        .withColumn("_dot", F.expr(_dot_expr(vec_col, query)))
+        .withColumn("_n", F.expr(_norm_expr(vec_col)))
+        .withColumn("cosine", F.round(F.col("_dot") / (F.col("_n") * F.lit(qn)), 6))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def synth_clustered_embeddings(
+    spark, n: int, dim: int = 64, n_clusters: int = 32, noise: float = 0.15,
+    n_parts: int = 16,
+) -> DataFrame:
+    """Deterministic clustered vectors (cluster center + per-row noise, both
+    md5-seeded pure functions of the row id) — uniform random vectors give
+    every ANN chance-level recall; real embedding corpora are clustered,
+    which is the regime LSH exploits. Distributed via mapInPandas."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def centers() -> np.ndarray:
+        out = np.empty((n_clusters, dim), dtype=np.float64)
+        for c in range(n_clusters):
+            seed = int.from_bytes(hashlib.md5(f"center{c}".encode()).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            out[c] = v / np.linalg.norm(v)
+        return out
+
+    def gen(batches):
+        C = centers()
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = np.empty((len(ids), dim), dtype=np.float32)
+            for i, rid in enumerate(ids):
+                c = int(rid) % n_clusters
+                seed = int.from_bytes(hashlib.md5(f"row{rid}".encode()).digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                v = C[c] + noise * rng.standard_normal(dim)
+                rows[i] = (v / np.linalg.norm(v)).astype(np.float32)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "cluster": ids % n_clusters,
+                "embedding": list(rows),
+            })
+
+    return spark.range(0, n, 1, n_parts).mapInPandas(
+        gen, "vec_id long, cluster long, embedding array<float>"
+    )
+
+
+def query_vector_for_cluster(c: int, dim: int = 64, n_clusters: int = 32) -> list[float]:
+    """A query near cluster c's center (same deterministic construction)."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(f"center{c}".encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    v = v / np.linalg.norm(v)
+    qseed = int.from_bytes(hashlib.md5(f"query{c}".encode()).digest()[:8], "little")
+    qrng = np.random.default_rng(qseed)
+    q = v + 0.1 * qrng.standard_normal(dim)
+    q = q / np.linalg.norm(q)
+    return [float(x) for x in q]
+
+
+def ann_recall(
+    spark, index_path: str, emb: DataFrame, queries: list[list[float]],
+    k: int = 10, n_planes: int = 6, multiprobe: int = 1,
+) -> dict:
+    """recall@k of the indexed ANN probe vs the brute-force baseline."""
+    hits = 0
+    total = 0
+    for q in queries:
+        truth = {r[0] for r in cosine_topk(emb, q, k).collect()}
+        approx = {
+            r[0] for r in ann_topk_indexed(
+                spark, index_path, q, k, n_planes, multiprobe
+            ).collect()
+        }
+        hits += len(truth & approx)
+        total += k
+    return {"recall_at_k": round(hits / total, 4), "k": k, "n_queries": len(queries)}

@@ -106,6 +106,7 @@ class CrawlEngine:
         exact_robots: bool = True,
         use_bloom: bool = True,
         bloom_bits: int = 1 << 22,
+        bloom_shards: int = 1,
     ):
         self.spark = spark
         self.cat = Catalog(spark, workdir)
@@ -114,7 +115,18 @@ class CrawlEngine:
         self.per_host_budget = per_host_budget
         self.n_buckets = n_buckets
         self.exact_robots = exact_robots
-        self.bloom = BloomSeen(bloom_bits) if use_bloom else None
+        # bloom_shards > 1 switches the seen-filter to the sharded build
+        # (per-shard bitmap files under the workdir; the 10^10 design where
+        # a single bitmap can no longer broadcast)
+        self.bloom = (
+            BloomSeen(
+                bloom_bits,
+                n_shards=bloom_shards,
+                shard_dir=f"{workdir}/bloom_shards" if bloom_shards > 1 else None,
+            )
+            if use_bloom
+            else None
+        )
         self._udfs_ready = False
         # robots_rules: parsed + cached + broadcast at gate time
         if robots_fixtures is not None:

@@ -35,7 +35,11 @@ QUERIES = {}
 ORACLES = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle):
+    """oracle: SQL string, or a zero-arg callable returning one (resolved
+    lazily in resolved_oracles() — used for oracles that precompute an
+    expected VALUES table), or None (rows-only check)."""
+
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -43,6 +47,10 @@ def register(name: str, oracle: str | None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 # ====================================================================
@@ -208,8 +216,6 @@ def robots_gate_prefix(spark, sf_dir):
     parsed robots.txt; the oracle knows the closed-form answer."""
     docs = _read(spark, sf_dir, "documents")
     robots_txt = b"User-agent: *\nDisallow: /d3/\nDisallow: /d5/ # comment\n"
-    robots = parse_robots(robots_txt, exact_match=False)
-    groups = [(list(g.ua), [(int(t), r) for t, r in g.rules]) for g in robots.groups]
 
     from pyspark.sql.types import BooleanType
 
@@ -218,11 +224,116 @@ def robots_gate_prefix(spark, sf_dir):
         return pd.Series([r.path_allowed(b"*-bot", p) for p in paths])
 
     gate_udf = F.pandas_udf(gate, BooleanType())
-    del groups
     return docs.select(
         "doc_id",
         F.concat(F.lit("/d"), (F.col("doc_id") % 7).cast("string"), F.lit("/x.html")).alias("path"),
     ).withColumn("allowed", gate_udf("path"))
+
+
+@register(
+    "headers_parse",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+             WHEN 2 THEN 'application/xhtml+xml'   -- pdf classifies XHTML: utils.cc:699 quirk
+             WHEN 3 THEN 'UNRECOGNIZED'            -- true xhtml prefix falls through
+             WHEN 4 THEN 'UNSET'                   -- no Content-Type header
+             ELSE 'text/html' END AS content_type,
+           CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 5 THEN 'ISO-8859-1' ELSE '' END AS charset
+    FROM documents
+    """,
+)
+def headers_parse(spark, sf_dir):
+    """F12/F13: the header-parse kernel over constructed HTTP responses;
+    the oracle knows the closed-form classification, including the
+    XHTML-fallthrough quirk (utils.cc:699) and the leading-space
+    sensitivity of the prefix check (value group captures ': <v>')."""
+    docs = _read(spark, sf_dir, "documents")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions.headers import parse_http_headers
+
+    variants = [
+        "Content-Type: text/html; charset=utf-8\r\n",
+        "Content-Type: text/plain\r\n",
+        "Content-Type: application/pdf\r\n",
+        "Content-Type:application/xhtml+xml\r\n",  # no space: find()==0 path
+        "",  # no Content-Type header at all
+        "Content-Type: text/html; charset=ISO-8859-1\r\n",
+    ]
+    ct_line = F.element_at(
+        F.array(*[F.lit(v) for v in variants]), (F.col("doc_id") % 6 + 1).cast("int")
+    )
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\n"),
+            ct_line,
+            F.lit("X-Id: "), F.col("doc_id").cast("string"),
+            F.lit("\r\n\r\nX-Tail: nope"),  # unterminated final line: never parsed
+        ).alias("headers"),
+    )
+    out_t = StructType(
+        [StructField("content_type", StringType()), StructField("charset", StringType())]
+    )
+
+    def parse(hs: pd.Series) -> pd.DataFrame:
+        cts, css = [], []
+        for h in hs:
+            ct, cs, _ = parse_http_headers(h)
+            cts.append(ct)
+            css.append(cs)
+        return pd.DataFrame({"content_type": cts, "charset": css})
+
+    parse_udf = F.pandas_udf(parse, out_t)
+    return raw.select("doc_id", parse_udf("headers").alias("p")).select(
+        "doc_id", F.col("p.content_type").alias("content_type"),
+        F.col("p.charset").alias("charset"),
+    )
+
+
+@register(
+    "merge_ref",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/b/d.html'
+             WHEN 1 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/up.html'
+             WHEN 2 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/b/c?x=1'
+             ELSE 'http://other.example/z?q=' || CAST(doc_id % 3 AS VARCHAR)
+           END AS merged
+    FROM documents
+    """,
+)
+def merge_ref_q(spark, sf_dir):
+    """F9: RFC-3986-style reference resolution with the reference's quirks
+    (ref path -> base query CLEARED, Url.cc:221-228; authority ref with no
+    query -> base query RETAINED). Oracle is the closed-form merged URL."""
+    docs = _read(spark, sf_dir, "documents")
+    from ..functions.url import Url
+
+    def merge(bases: pd.Series, refs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [str(Url(b).merge_ref(Url(r))) for b, r in zip(bases, refs)]
+        )
+
+    merge_udf = F.pandas_udf(merge, "string")
+    refs = F.element_at(
+        F.array(
+            F.lit("d.html"), F.lit("../up.html"), F.lit("?x=1"), F.lit("//other.example/z")
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/a/b/c?q="), (F.col("doc_id") % 3).cast("string"),
+        ).alias("base"),
+        refs.alias("ref"),
+    )
+    return pairs.select("doc_id", merge_udf("base", "ref").alias("merged"))
 
 
 # ====================================================================
@@ -341,7 +452,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(dim, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(
@@ -445,8 +556,10 @@ register("minhash_dedup", dedup.minhash_dedup_sql(16, 8, 3, 0.5))(
 register("simhash_neardup", dedup.simhash_sql(3))(
     lambda spark, sf_dir: dedup.simhash_pairs(_read(spark, sf_dir, "documents"), 3)
 )
-register("ngram_jaccard_dedup", dedup.ngram_jaccard_sql(5, 0.4))(
-    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), 5, 0.4)
+register("ngram_jaccard_dedup", dedup.ngram_jaccard_sql(5, 0.4, max_df=50))(
+    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), 5, 0.4, max_df=50
+    )
 )
 register("embedding_neardup", dedup.embedding_neardup_sql(0.8))(
     lambda spark, sf_dir: dedup.embedding_neardup_pairs(
@@ -482,16 +595,75 @@ register("inverted_index", index.postings_stats_sql())(
 )
 
 
-# rows-only entries (no SQL oracle — the stemmer and the media stub are not
-# SQL-expressible; the driver records the weaker rows-only check)
-@register("stemmed_postings", None)
+# Precomputed-VALUES oracles: the stemmer and the media feature kernel are
+# not SQL-expressible (Porter-1980 control flow; md5 over NUL-containing
+# byte strings — DuckDB md5 is VARCHAR-only), so the oracle is an
+# INDEPENDENT single-process recomputation over the same parquet, embedded
+# as a VALUES table. The driver runs oracles at sf0.01 (its correctness SF).
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _stemmed_postings_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from ..functions.stemmer import porter_stem
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    word_re = re.compile(r"\w+", re.ASCII)  # JVM/RE2 \w == ASCII word chars
+    per_term: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    stem_cache: dict[str, str] = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for t in text.split(" "):
+            if word_re.fullmatch(t):
+                s = stem_cache.get(t)
+                if s is None:
+                    s = porter_stem(t)
+                    stem_cache[t] = s
+                per_term[s][did] += 1
+    rows = sorted(
+        (term, len(docs), sum(docs.values())) for term, docs in per_term.items()
+    )
+    vals = ", ".join(f"('{t}', {df}, {tt})" for t, df, tt in rows)  # terms are \w+ → quote-safe
+    return (
+        "SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf "
+        f"FROM (VALUES {vals}) AS t(term, df, total_tf)"
+    )
+
+
+def _multimodal_features_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.multimodal import _fake_features
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        v = _fake_features(text.encode("utf-8"), 8)
+        norm32 = float(np.float32(np.linalg.norm(v)))  # kernel stores FloatType
+        # Spark round() is BigDecimal HALF_UP on the exact double
+        d = float(Decimal(norm32).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        rows.append((did, d))
+    vals = ", ".join(f"({did}, CAST({d!r} AS DOUBLE))" for did, d in rows)
+    return (
+        "SELECT CAST(blob_id AS BIGINT) AS blob_id, feat_norm "
+        f"FROM (VALUES {vals}) AS t(blob_id, feat_norm)"
+    )
+
+
+@register("stemmed_postings", _stemmed_postings_oracle)
 def stemmed_postings_q(spark, sf_dir):
     return index.stemmed_postings(_read(spark, sf_dir, "documents")).select(
         "term", "df", "total_tf"
     )
 
 
-@register("multimodal_features", None)
+@register("multimodal_features", _multimodal_features_oracle)
 def multimodal_features_q(spark, sf_dir):
     """Binary-column feature extraction: documents' utf-8 bytes as blobs."""
     from ..operators.multimodal import extract_features
@@ -502,7 +674,7 @@ def multimodal_features_q(spark, sf_dir):
         F.col("text").cast("binary").alias("blob"),
     )
     return extract_features(blobs, dim=8).select(
-        "blob_id", F.round(F.col("feat_norm"), 4).alias("feat_norm")
+        "blob_id", F.round(F.col("feat_norm").cast("double"), 4).alias("feat_norm")
     )
 register("tf_idf", index.tf_idf_sql())(
     lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))

@@ -89,3 +89,57 @@ def test_embedding_neardup(emb, con):
         con.sql(dedup.embedding_neardup_sql(threshold=0.8)),
         ["id_a", "id_b", "cosine"],
     )
+
+
+def test_ngram_jaccard_df_pruned_matches_oracle(docs, con):
+    assert_same(
+        dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.4, max_df=20),
+        con.sql(dedup.ngram_jaccard_sql(k=5, threshold=0.4, max_df=20)),
+        ["id_a", "id_b", "jaccard"],
+    )
+
+
+def test_ngram_df_pruning_bounds_stopword_buckets(spark):
+    """Stopword-heavy corpus: every doc shares the same boilerplate shingle;
+    unpruned blocking goes quadratic (n*(n-1)/2 candidates), df-pruning
+    keeps only the genuinely-similar pairs and the candidate count stays
+    bounded by the rare-shingle buckets."""
+    from pyspark.sql import functions as F
+
+    n = 120
+    boiler = "terms of service apply to all"
+    rows = []
+    for i in range(n):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        rows.append((i, f"{boiler} {uniq}"))
+    # one true near-dup pair sharing rare shingles
+    rows.append((n, f"{boiler} u7a u7b u7c u7d u7e extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def count_candidates(max_df):
+        ss = df.select(
+            "doc_id",
+            F.expr(
+                "array_distinct(" + dedup.shingles_expr("split(text, ' ')", 3) + ")"
+            ).alias("ss"),
+        )
+        melted = ss.select("doc_id", F.explode("ss").alias("sh"))
+        if max_df is not None:
+            hot = (
+                melted.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df).select("sh")
+            )
+            melted = melted.join(F.broadcast(hot), "sh", "left_anti")
+        return (
+            melted.alias("x").join(melted.alias("y"), "sh")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select("x.doc_id", "y.doc_id").distinct().count()
+        )
+
+    unpruned = count_candidates(None)
+    pruned = count_candidates(10)
+    assert unpruned >= n * (n - 1) // 2  # quadratic blow-up without pruning
+    assert pruned < 50  # bounded: only rare-shingle co-occurrences survive
+    # the true near-dup pair is still found after pruning
+    found = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.4, max_df=10).collect()
+    assert any(r["id_a"] == 7 and r["id_b"] == n for r in found)
