@@ -561,9 +561,17 @@ register("ngram_jaccard_dedup", dedup.ngram_jaccard_sql(5, 0.4, max_df=50))(
         _read(spark, sf_dir, "documents"), 5, 0.4, max_df=50
     )
 )
-register("embedding_neardup", dedup.embedding_neardup_sql(0.8))(
+register("embedding_neardup", dedup.embedding_neardup_sql(0.3))(
     lambda spark, sf_dir: dedup.embedding_neardup_pairs(
-        _read(spark, sf_dir, "embeddings"), 0.8
+        _read(spark, sf_dir, "embeddings"), 0.3
+    )
+)
+
+# threshold 0.3 so the result is non-trivial on the near-uniform synthetic
+# vectors (0.8 yields zero pairs at sf<=0.01; a 0-row pass proves little)
+register("embedding_neardup_lsh", dedup.embedding_neardup_lsh_sql(0.3, 6, 64))(
+    lambda spark, sf_dir: dedup.embedding_neardup_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"), 0.3, 6, 64
     )
 )
 
@@ -576,6 +584,19 @@ register("ann_topk_lsh", similarity.ann_topk_sql(_Q64, 10, 4, 1))(
         _read(spark, sf_dir, "embeddings"), _Q64, 10, 4, 1
     )
 )
+
+
+@register("ann_topk_indexed", similarity.ann_topk_sql(_Q64, 10, 6, 1))
+def ann_topk_indexed_q(spark, sf_dir):
+    """The at-scale ANN path: bucket-partitioned index write + partition-
+    pruned probe. Identical output to the in-plan LSH filter with the same
+    hyperplanes, so the in-plan oracle SQL is exact for it too."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ann_idx_") + "/index"
+    emb = _read(spark, sf_dir, "embeddings")
+    similarity.build_ann_index(emb, path, n_planes=6)
+    return similarity.ann_topk_indexed(spark, path, _Q64, 10, n_planes=6, multiprobe=1)
 
 register("lang_id", quality.lang_id_sql())(
     lambda spark, sf_dir: quality.lang_id(_read(spark, sf_dir, "documents"))

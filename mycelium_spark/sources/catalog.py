@@ -72,10 +72,14 @@ class Catalog:
         df: DataFrame | None,
         mode: str = "append",
         meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the snapshot id.
 
         ``df=None`` commits a metadata-only snapshot (same data as before).
+        ``partition_by`` hive-partitions the snapshot's data directory so
+        later reads prune on those columns (e.g. the frontier bucketed by
+        host bucket — Iceberg's partition spec analog).
         """
         tdir = self._tdir(table)
         prev = self.latest_snapshot(table)
@@ -85,10 +89,81 @@ class Catalog:
             dirs = list(self._manifest(table, prev)["dirs"])
         if df is not None:
             data_dir = os.path.join(tdir, f"s{snap}")
-            df.write.mode("overwrite").parquet(data_dir)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
             dirs.append(data_dir)
         self._publish(table, snap, dirs, meta)
         return snap
+
+    # --- maintenance (the Iceberg MERGE/expire analogs) ---
+    def compact(
+        self,
+        table: str,
+        dedup_key: str | None = None,
+        order_col: str | None = None,
+    ) -> int:
+        """Rewrite the table into one data directory and publish it as a new
+        snapshot. With ``dedup_key``/``order_col`` the rewrite applies
+        last-write-wins per key (highest ``order_col`` survives) — the
+        materialized form of the reference's Mongo upsert (Doc.cc:79) /
+        Iceberg MERGE INTO, so readers stop paying the window-on-read.
+        Older snapshots stay readable until expire_snapshots()."""
+        df = self.read(table)
+        prev = self.latest_snapshot(table)
+        if df is None or prev < 0:
+            return -1
+        if dedup_key is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            if order_col is None:
+                raise ValueError("dedup_key requires order_col")
+            w = Window.partitionBy(dedup_key).orderBy(F.desc(order_col))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        tdir = self._tdir(table)
+        snap = prev + 1
+        data_dir = os.path.join(tdir, f"s{snap}")
+        df.write.mode("overwrite").parquet(data_dir)
+        meta = dict(self.meta(table))
+        meta["compacted_from"] = prev
+        self._publish(table, snap, [data_dir], meta)
+        return snap
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> int:
+        """Delete manifests + data dirs unreachable from the newest ``keep``
+        snapshots. Returns the number of data dirs removed. Append
+        snapshots share dirs, so only dirs referenced by NO kept manifest
+        are deleted."""
+        import shutil
+
+        latest = self.latest_snapshot(table)
+        if latest < 0:
+            return 0
+        tdir = self._tdir(table)
+        kept = range(max(latest - keep + 1, 0), latest + 1)
+        referenced: set[str] = set()
+        for s in kept:
+            try:
+                referenced.update(self._manifest(table, s)["dirs"])
+            except FileNotFoundError:
+                pass
+        removed = 0
+        for name in os.listdir(tdir):
+            full = os.path.join(tdir, name)
+            if name.startswith("s") and os.path.isdir(full) and full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            elif name.startswith("manifest-"):
+                s = int(name.split("-")[1].split(".")[0])
+                if s not in kept:
+                    os.remove(full)
+        return removed
 
     def read(self, table: str) -> DataFrame | None:
         """Latest committed snapshot as a DataFrame; None if table absent/empty."""
