@@ -329,7 +329,8 @@ class CrawlEngine:
         new_frontier = assign_seq(
             fresh.select("url", "host", "src_seq", "pos"), ["src_seq", "pos", "url"], next_seq
         ).drop("src_seq", "pos")
-        next_frontier = deferred.select("url", "host", "seq").unionByName(new_frontier)
+        # cached: consumed twice below (count for the meta + the actual write)
+        next_frontier = deferred.select("url", "host", "seq").unionByName(new_frontier).cache()
 
         # 7. metrics: per-partition lineage (A3/P12)
         part_metrics = (
@@ -367,6 +368,7 @@ class CrawlEngine:
         scheduled.unpersist()
         extracted.unpersist()
         links.unpersist()
+        next_frontier.unpersist()
         return {
             "round": r,
             "scheduled": n_scheduled,
