@@ -65,10 +65,13 @@ def index_local_files(files: DataFrame) -> DataFrame:
     """files (path, content, ext) → docs rows with file:// urls.
 
     Mirrors Indexer.file(): normalize the file:// url, convert to text
-    (txt: control-filter + utf-8 check → 200, else 415; pdf: 415 stub —
-    no pdftotext in this container), never per-row Python from Spark's
-    perspective (mapInPandas batches).
+    (txt: control-filter + utf-8 check → 200, else 415; pdf: the native
+    common-subset extractor in functions/pdftext.py → control-filter +
+    200 on success, 415 on anything it can't parse — the same
+    success/415 split as the pdftotext shell-out, local_indexer.cc:112-131),
+    never per-row Python from Spark's perspective (mapInPandas batches).
     """
+    from ..functions.pdftext import pdf_extract_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,9 +96,15 @@ def index_local_files(files: DataFrame) -> DataFrame:
                     else:
                         codes.append(415)
                         texts.append(None)
-                else:  # pdf path needs pdftotext — 415 stub (local_indexer.cc:127)
-                    codes.append(415)
-                    texts.append(None)
+                else:  # pdf: native extractor; failure → 415 (local_indexer.cc:127)
+                    txt = pdf_extract_text(raw)
+                    if txt is not None:
+                        cleaned = filter_ascii_control(txt.encode("utf-8"))
+                        codes.append(200)
+                        texts.append(cleaned.decode("utf-8"))
+                    else:
+                        codes.append(415)
+                        texts.append(None)
             yield pd.DataFrame(
                 {"url": urls, "http_code": codes, "text": texts, "n_bytes": sizes}
             )
