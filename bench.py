@@ -164,14 +164,21 @@ def schedule_dedup_job(spark, data_dir: str, per_host_budget: int = 4096) -> dic
 
 
 def dedup_variants_job(spark, data_dir: str, shard_dir: str) -> dict:
-    """Seen-dedup strategy comparison on the same candidate set.
+    """Seen-dedup strategy comparison in the STEADY-STATE crawl regime:
+    one round's candidate batch (small) against a large accumulated seen
+    set. That ratio — not candidates ~ seen — is what the Bloom path is
+    for: at 10^10 seen, the exact anti-join re-shuffles the seen set every
+    round, while the prefilter touches only the candidates.
 
-    exact_anti    — candidates ⟕̸ seen (shuffles BOTH sides every round);
+    exact_anti    — candidates ⟕̸ seen (the seen side shuffles every round);
     bloom_confirm — sharded-Bloom prefilter + exact confirm anti-join
-                    (exact output; seen still shuffles for the confirm);
-    bloom_approx  — prefilter only (the 10^10 mode: seen is NEVER
-                    shuffled; drops FP-rate worth of new URLs — measured
-                    and reported as fp_dropped).
+                    (exact output; only FP-rate of candidates reach the
+                    confirm join, but seen still shuffles);
+    bloom_approx  — prefilter only (the 10^10 mode: seen NEVER shuffles;
+                    drops FP-rate of new URLs — measured as fp_dropped).
+
+    The filter build is reported separately: in a real crawl add_df runs
+    incrementally on each round's newly-seen URLs, not on the full set.
     """
     from pyspark.sql import functions as F
 
@@ -179,30 +186,38 @@ def dedup_variants_job(spark, data_dir: str, shard_dir: str) -> dict:
 
     frontier = spark.read.parquet(f"{data_dir}/frontier")
     seen = spark.read.parquet(f"{data_dir}/seen")
-    cand = frontier.select("url")
+    # one round's schedule ≈ 2.5% of the frontier (hash-sampled, deterministic)
+    cand = frontier.filter(F.pmod(F.xxhash64("url"), F.lit(40)) == 0).select("url")
     out: dict = {}
-
-    t0 = time.time()
-    n_exact = new_urls(cand, seen, None).count()
-    out["exact_anti"] = {"wall_sec": round(time.time() - t0, 3), "new": n_exact}
 
     t0 = time.time()
     bloom = BloomSeen(num_bits=1 << 24, num_hashes=5, n_shards=8, shard_dir=shard_dir)
     bloom.add_df(seen, "url")
-    out["bloom_build_sec"] = round(time.time() - t0, 3)
+    out["bloom_build_full_sec"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    n_confirm = new_urls(cand, seen, bloom).count()
-    out["bloom_confirm"] = {"wall_sec": round(time.time() - t0, 3), "new": n_confirm}
+    def timed(df):
+        t0 = time.time()
+        n = df.count()
+        return round(time.time() - t0, 3), n
 
-    t0 = time.time()
-    n_approx = new_urls(cand, seen, bloom, confirm=False).count()
+    # warm both paths once (file listing, python workers), then best-of-2
+    new_urls(cand, seen, None).count()
+    new_urls(cand, seen, bloom, confirm=False).count()
+
+    w_exact, n_exact = min(timed(new_urls(cand, seen, None)) for _ in range(2))
+    out["exact_anti"] = {"wall_sec": w_exact, "new": n_exact}
+    w_conf, n_confirm = min(timed(new_urls(cand, seen, bloom)) for _ in range(2))
+    out["bloom_confirm"] = {"wall_sec": w_conf, "new": n_confirm}
+    w_apx, n_approx = min(timed(new_urls(cand, seen, bloom, confirm=False)) for _ in range(2))
     out["bloom_approx"] = {
-        "wall_sec": round(time.time() - t0, 3),
+        "wall_sec": w_apx,
         "new": n_approx,
         "fp_dropped": n_exact - n_approx,
         "fp_rate": round((n_exact - n_approx) / max(n_exact, 1), 6),
     }
+    out["candidates"] = int(cand.count())
+    out["seen_rows"] = int(seen.count())
+    out["speedup_approx_vs_exact"] = round(w_exact / w_apx, 3) if w_apx else None
     assert n_confirm == n_exact
     return out
 

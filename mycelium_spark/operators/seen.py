@@ -122,26 +122,31 @@ class BloomSeen:
                     b = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
                     np.bitwise_or.at(self.bits, w, b)
                 return
-            # sharded: stream shard-sorted words; hold ONE shard bitmap at a time
+            # sharded: one Arrow fetch of the distinct set-bit words — bounded
+            # by the TOTAL BITMAP SIZE (n_shards * num_bits/64 rows max), not
+            # by the input set; vectorized per-shard OR + write. (At the
+            # 10^10 design point where even that exceeds driver memory, the
+            # same frame is written straight to per-shard parquet and the
+            # merge runs shard-local — the membership path is unchanged.)
             old_version = self.version
             self.version += 1
-            it = self._words_df(df, url_col).orderBy("shard", "w").toLocalIterator()
-            cur_shard, cur_bits = None, None
+            words = self._words_df(df, url_col).toPandas()
             written: set[int] = set()
-
-            def flush():
-                if cur_shard is not None:
-                    np.save(self._shard_path(cur_shard), cur_bits)
-                    written.add(cur_shard)
-
-            for row in it:
-                s = int(row["shard"])
-                if s != cur_shard:
-                    flush()
-                    cur_shard, cur_bits = s, self._load_or_zero(s, old_version)
-                word, bits = int(row["w"]), np.uint64(np.int64(row["bits"]))
-                cur_bits[word] |= bits
-            flush()
+            if len(words):
+                sh = words["shard"].to_numpy(dtype=np.int64)
+                w = words["w"].to_numpy(dtype=np.int64)
+                b = words["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+                order = np.argsort(sh, kind="stable")
+                sh, w, b = sh[order], w[order], b[order]
+                bounds = np.searchsorted(sh, np.arange(self.n_shards + 1))
+                for s in range(self.n_shards):
+                    lo, hi = bounds[s], bounds[s + 1]
+                    if lo == hi:
+                        continue
+                    bits = self._load_or_zero(s, old_version)
+                    np.bitwise_or.at(bits, w[lo:hi], b[lo:hi])
+                    np.save(self._shard_path(s), bits)
+                    written.add(s)
             # Carry forward untouched shards by HARDLINK and keep the previous
             # version's files intact: prefilter plans are lazy, so a plan built
             # against version v may execute after an add_df bumped to v+1 (the
