@@ -352,7 +352,7 @@ def main() -> None:
         # ratio. Per-rep steal is recorded for the judge. ---
         small = CPUS // 4
         core_list = [CPUS] if (SKIP_SCALING or CPUS < 8) else [small, CPUS]
-        reps = 1 if len(core_list) == 1 else 3
+        reps = 1 if len(core_list) == 1 else 2
         walls: dict[int, dict] = {c: {} for c in core_list}
         for rep in range(reps):
             for cores in core_list:
