@@ -181,6 +181,52 @@ class CrawlEngine:
         )
         return n
 
+    def add_seeds(self, parsed: DataFrame) -> int:
+        """Append already-parsed (url, host) rows to the frontier — the
+        streaming-ingest entry point (seed_stream's foreachBatch sink).
+        Dedupes against the live frontier and the seen set; new rows get
+        seqs after the current high-water mark (arrival order within one
+        batch is undefined upstream, so ties break by url for
+        determinism). Returns rows actually added."""
+        meta = self.cat.meta("frontier")
+        next_seq = int(meta.get("next_seq", 0))
+        rnd = int(meta.get("round", 0))
+        existing = self.cat.read("frontier") if self.cat.exists("frontier") else None
+        cand = parsed.select("url", "host").dropDuplicates(["url"])
+        if existing is not None:
+            cand = cand.join(existing.select("url"), "url", "left_anti")
+        cand = new_urls(cand, self.cat.read("seen"), None, "url")
+        fresh = assign_seq(cand, ["url"], next_seq).cache()
+        n_new = fresh.count()
+        out = fresh if existing is None else existing.unionByName(fresh)
+        self.cat.commit(
+            "frontier", out, mode="overwrite",
+            meta={"round": rnd, "next_seq": next_seq + n_new,
+                  "rows": int(meta.get("rows", 0)) + n_new},
+        )
+        fresh.unpersist()
+        return n_new
+
+    def run_streaming(
+        self, seed_dir: str, checkpoint_dir: str, max_rounds: int = 10,
+        timeout_sec: int = 300,
+    ) -> list[dict]:
+        """Continuous mode (S1 streaming variant): ingest every seed file
+        currently in ``seed_dir`` through Structured Streaming
+        (availableNow micro-batches, checkpointed exactly-once per batch),
+        then drain the frontier with batch rounds. Re-invoking after new
+        files appear continues from the checkpoint — the streaming
+        ingester feeds the deterministic batch engine."""
+        from ..streaming.seed_stream import seed_stream
+
+        q = seed_stream(
+            self.spark, seed_dir,
+            lambda batch_df, batch_id: self.add_seeds(batch_df),
+            checkpoint_dir, trigger_once=True,
+        )
+        q.awaitTermination(timeout_sec)
+        return self.run(max_rounds=max_rounds)
+
     @property
     def round(self) -> int:
         return int(self.cat.meta("frontier").get("round", 0))

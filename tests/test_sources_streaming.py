@@ -113,3 +113,37 @@ def test_crawl_rate_metrics_streaming_watermark(spark, tmp_path):
     assert spark.sql("SELECT * FROM ticks").columns == [
         "tick_start", "host", "n_fetched", "bytes",
     ]
+
+
+def test_run_streaming_end_to_end(spark, tmp_path):
+    """Continuous mode: seed files → streaming ingest (checkpointed) →
+    batch rounds drain the frontier; a second invocation with a NEW seed
+    file resumes from the checkpoint and crawls only the new URLs."""
+    from mycelium_spark.plans.crawl import CrawlEngine
+    from mycelium_spark.sources import synth
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pages = synth.pages_df(spark, 120, 8)
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    with open(seed_dir / "s1.txt", "w") as f:
+        for i in range(8):
+            f.write(synth.url_of(i) + "\n")
+        f.write("https://skip.example/x\n")  # non-http: ingest filter drops
+
+    eng = CrawlEngine(spark, str(tmp_path / "wd"), pages, per_host_budget=4)
+    stats = eng.run_streaming(str(seed_dir), str(tmp_path / "ckpt"), max_rounds=3)
+    docs1 = eng.docs_latest().count()
+    assert docs1 > 0
+    assert all(s["disallowed"] == 0 for s in stats)
+
+    # second wave: only the new file is ingested (checkpoint skips s1.txt)
+    with open(seed_dir / "s2.txt", "w") as f:
+        for i in range(60, 64):
+            f.write(synth.url_of(i) + "\n")
+    eng.run_streaming(str(seed_dir), str(tmp_path / "ckpt"), max_rounds=3)
+    docs2 = eng.docs_latest().count()
+    assert docs2 > docs1
+    # seen set is still a set (no url crawled twice)
+    seen = eng.cat.read("seen")
+    assert seen.count() == seen.select("url").distinct().count()
