@@ -48,7 +48,9 @@ def make_session(cores: int, name: str):
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(name)
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        # partitions sized for the LARGEST leg (100M-row rehearsal spilled
+        # at cores*2); AQE coalesces them back down for the small legs
+        .config("spark.sql.shuffle.partitions", str(max(cores * 8, 32)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
@@ -191,9 +193,14 @@ def dedup_variants_job(spark, data_dir: str, shard_dir: str) -> dict:
     out: dict = {}
 
     t0 = time.time()
-    bloom = BloomSeen(num_bits=1 << 24, num_hashes=5, n_shards=8, shard_dir=shard_dir)
+    # size the filter from the data: ~13 bits/key → fp ≈ 0.3% at 5 hashes
+    # (a fixed size degraded to 43% fp at the 50M-seen rehearsal)
+    n_seen = seen.count()
+    bits_per_shard = 1 << max(20, (n_seen * 13 // 8 - 1).bit_length())
+    bloom = BloomSeen(num_bits=bits_per_shard, num_hashes=5, n_shards=8, shard_dir=shard_dir)
     bloom.add_df(seen, "url")
     out["bloom_build_full_sec"] = round(time.time() - t0, 3)
+    out["bloom_bits_per_key"] = round(8 * bits_per_shard / max(n_seen, 1), 2)
 
     def timed(df):
         t0 = time.time()

@@ -81,3 +81,11 @@ def sha1_hex(b: bytes | str) -> str:
     if isinstance(b, str):
         b = b.encode("utf-8")
     return hashlib.sha1(b).hexdigest()
+
+
+def make_hex_dump(b: bytes | str) -> str:
+    """F20: debug hex dump, '%02x ' per byte incl. the trailing space
+    (utils.cc:305-314 makeHexDump)."""
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    return "".join(f"{x:02x} " for x in b)

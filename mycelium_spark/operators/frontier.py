@@ -36,11 +36,18 @@ def politeness_schedule(
     host_col: str = "host",
     seq_col: str = "seq",
     salt: int = 1,
+    budget_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (scheduled, deferred) for one round.
 
     Scheduled rows carry ``host_pos`` (1-based FIFO position within host,
     the politeness rank) matching the reference's per-host pop order.
+
+    ``budget_col`` names a per-row (constant-per-host) column holding that
+    host's budget — the Crawl-delay extension: hosts declaring a delay get
+    ``min(per_host_budget, floor(round_period/delay))``. When set,
+    ``per_host_budget`` still bounds the salted phase-1 cut (it is the
+    maximum any host may get, so phase 1 stays a safe over-approximation).
 
     ``salt > 1`` enables the two-phase skew-resistant plan: phase 1 windows
     over (host, hash(url) % salt) and keeps the per-salt top-B (everything
@@ -49,13 +56,17 @@ def politeness_schedule(
     straggler task drops from sorting the whole backlog to sorting salt*B
     rows. Identical output to the single-window plan.
     """
+    budget = F.col(budget_col) if budget_col else F.lit(per_host_budget)
+    drop_cols = ["host_pos"] + ([budget_col] if budget_col else [])
     if salt <= 1:
         w = Window.partitionBy(host_col).orderBy(seq_col)
         ranked = frontier.withColumn("host_pos", F.row_number().over(w))
-        scheduled = ranked.filter(F.col("host_pos") <= per_host_budget)
-        deferred = ranked.filter(F.col("host_pos") > per_host_budget).drop("host_pos")
+        scheduled = ranked.filter(F.col("host_pos") <= budget)
+        if budget_col:
+            scheduled = scheduled.drop(budget_col)
+        deferred = ranked.filter(F.col("host_pos") > budget).drop(*drop_cols)
         return scheduled, deferred
-    cols = frontier.columns
+    cols = [c for c in frontier.columns if c != budget_col]
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
     )
@@ -65,8 +76,10 @@ def politeness_schedule(
     deferred_far = pre.filter(F.col("_pos1") > per_host_budget).select(*cols)
     w2 = Window.partitionBy(host_col).orderBy(seq_col)
     ranked = survivors.withColumn("host_pos", F.row_number().over(w2))
-    scheduled = ranked.filter(F.col("host_pos") <= per_host_budget).drop("_salt", "_pos1")
-    deferred_near = ranked.filter(F.col("host_pos") > per_host_budget).select(*cols)
+    scheduled = ranked.filter(F.col("host_pos") <= budget).drop("_salt", "_pos1")
+    if budget_col:
+        scheduled = scheduled.drop(budget_col)
+    deferred_near = ranked.filter(F.col("host_pos") > budget).select(*cols)
     return scheduled, deferred_near.unionByName(deferred_far)
 
 

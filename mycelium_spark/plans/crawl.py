@@ -107,6 +107,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 22,
         bloom_shards: int = 1,
+        enforce_crawl_delay: bool = False,
+        round_period_sec: float = 5.0,
     ):
         self.spark = spark
         self.cat = Catalog(spark, workdir)
@@ -115,6 +117,13 @@ class CrawlEngine:
         self.per_host_budget = per_host_budget
         self.n_buckets = n_buckets
         self.exact_robots = exact_robots
+        # Crawl-delay enforcement is an EXTENSION (off by default): the
+        # reference parses Crawl-delay but never enforces it (Robots.hh:48);
+        # when on, a host declaring delay d gets per-round budget
+        # min(per_host_budget, max(1, floor(round_period_sec / d))) — with
+        # one round ≈ one scheduler tick (crawler.cc:335, 5000 ms).
+        self.enforce_crawl_delay = enforce_crawl_delay
+        self.round_period_sec = round_period_sec
         # bloom_shards > 1 switches the seen-filter to the sharded build
         # (per-shard bitmap files under the workdir; the 10^10 design where
         # a single bitmap can no longer broadcast)
@@ -272,6 +281,36 @@ class CrawlEngine:
             ~F.col("allowed")
         ).drop("allowed")
 
+    def _host_budgets(self) -> DataFrame:
+        """(host, _budget) from parsed robots Crawl-delay for our UA —
+        only hosts that declare a delay appear (others default upstream)."""
+        from pyspark.sql.types import IntegerType
+
+        exact = self.exact_robots
+        ua = self.user_agent
+        cap = self.per_host_budget
+        period = self.round_period_sec
+
+        def budget_fn(states: pd.Series, groups: pd.Series) -> pd.Series:
+            out = []
+            for state, gj in zip(states, groups):
+                if gj is None or state is None or int(state) != int(RobotsState.PRESENT):
+                    out.append(None)
+                    continue
+                delay = _robots_from_json(gj, exact).crawl_delay(ua)
+                if delay is None or delay <= 0:
+                    out.append(None)
+                else:
+                    out.append(max(1, min(cap, int(period / delay))))
+            return pd.Series(out, dtype="object")
+
+        budget_udf = F.pandas_udf(budget_fn, IntegerType())
+        return (
+            self.robots_rules.withColumn("_budget", budget_udf("state", "groups_json"))
+            .filter(F.col("_budget").isNotNull())
+            .select("host", "_budget")
+        )
+
     def run_round(self) -> dict:
         """Execute one crawl round; returns stats. No-op if frontier empty."""
         r = self.round
@@ -284,8 +323,17 @@ class CrawlEngine:
             return {"round": r, "scheduled": 0, "done": True}
         frontier = frontier.cache()
 
-        # 1. politeness budget
-        scheduled, deferred = politeness_schedule(frontier, self.per_host_budget)
+        # 1. politeness budget (optionally Crawl-delay-scaled per host)
+        if self.enforce_crawl_delay and self.robots_rules is not None:
+            budgets = self._host_budgets()
+            gated_frontier = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
+                "_budget", F.coalesce(F.col("_budget"), F.lit(self.per_host_budget))
+            )
+            scheduled, deferred = politeness_schedule(
+                gated_frontier, self.per_host_budget, budget_col="_budget"
+            )
+        else:
+            scheduled, deferred = politeness_schedule(frontier, self.per_host_budget)
         scheduled = scheduled.cache()
 
         # 2. robots gate

@@ -107,3 +107,12 @@ def test_docs_latest_and_refresh(spark, tmp_path):
     crawled = {r.url for r in latest.filter("curl_code = 0").collect()}
     cands = {r.url for r in eng.refresh_candidates().collect()}
     assert not (crawled & cands)
+
+
+def test_make_hex_dump():
+    from mycelium_spark.functions.sniff import make_hex_dump
+
+    # utils.cc:305-314: '%02x ' per byte, trailing space included
+    assert make_hex_dump(b"\x00\x7f\xff") == "00 7f ff "
+    assert make_hex_dump("AB") == "41 42 "
+    assert make_hex_dump(b"") == ""
