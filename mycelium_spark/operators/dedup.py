@@ -19,7 +19,7 @@ shingle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MOD = (1 << 31) - 1  # universal-hash modulus (fits both engines' BIGINT)
@@ -432,6 +432,91 @@ FROM (
              JOIN ssets b ON pairs.id_b = b.doc_id
 )
 WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------- repeated spans ---------
+def repeated_spans(
+    docs: DataFrame, k: int = 5, min_df: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup primitive (the Lee et al. 2022 boilerplate
+    remover): maximal per-doc token spans covered by k-gram shingles that
+    occur in >= min_df distinct documents.
+
+    Plan: positioned shingles (posexplode) → 28-bit md5 shingle hash →
+    document frequency per hash → keep hot shingles → per-doc
+    gaps-and-islands merge of the [pos, pos+k) intervals (same-length
+    intervals overlap iff next_pos <= prev_pos + k, so a running
+    row-number difference segments islands). Returns
+    (doc_id, span_start, span_end, n_shingles) with token offsets,
+    span_end exclusive.
+
+    Scale notes: the df aggregation shuffles (hash, doc) pairs with
+    map-side combine; the hot-shingle join shuffles on the 28-bit hash
+    (AQE handles stopword-shingle skew); the island window partitions by
+    doc — bounded by the longest document, not the corpus.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(shingles_expr(f"split({text_col}, ' ')", k))).alias(
+            "pos", "shingle"
+        ),
+    ).withColumn("h", _hash28(F.col("shingle"))).drop("shingle")
+    dfreq = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    hot = sh.join(dfreq, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        hot.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + k), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        )
+        .select(id_col, "span_start", "span_end", "n_shingles")
+    )
+
+
+def repeated_spans_sql(k: int = 5, min_df: int = 2) -> str:
+    sh = shingles_sql("string_split(text, ' ')", k)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sh}) AS shingle,
+         generate_subscripts({sh}, 1) - 1 AS pos
+  FROM documents
+), hashed AS (
+  SELECT doc_id, pos, {_hash28_sql('shingle')} AS h FROM sh
+), hot AS (
+  SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= {min_df}
+), hits AS (
+  SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM hot)
+), islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits)
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM islands GROUP BY doc_id, island
 """
 
 

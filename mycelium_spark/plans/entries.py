@@ -567,6 +567,10 @@ register("embedding_neardup", dedup.embedding_neardup_sql(0.3))(
     )
 )
 
+register("repeated_spans", dedup.repeated_spans_sql(5, 2))(
+    lambda spark, sf_dir: dedup.repeated_spans(_read(spark, sf_dir, "documents"), 5, 2)
+)
+
 # threshold 0.3 so the result is non-trivial on the near-uniform synthetic
 # vectors (0.8 yields zero pairs at sf<=0.01; a 0-row pass proves little)
 register("embedding_neardup_lsh", dedup.embedding_neardup_lsh_sql(0.3, 6, 64))(

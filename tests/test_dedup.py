@@ -143,3 +143,32 @@ def test_ngram_df_pruning_bounds_stopword_buckets(spark):
     # the true near-dup pair is still found after pruning
     found = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.4, max_df=10).collect()
     assert any(r["id_a"] == 7 and r["id_b"] == n for r in found)
+
+
+def test_repeated_spans_oracle(docs, con):
+    assert_same(
+        dedup.repeated_spans(docs, k=5, min_df=2),
+        con.sql(dedup.repeated_spans_sql(k=5, min_df=2)),
+        ["doc_id", "span_start", "span_end", "n_shingles"],
+    )
+
+
+def test_repeated_spans_known_corpus(spark):
+    """Boilerplate shared by two docs is found as ONE maximal merged span
+    with exact token offsets; unique text yields no spans."""
+    boiler = "all rights reserved contact us at example dot com"  # 9 tokens
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta"),
+        (1, f"{boiler} epsilon zeta"),
+        (2, "entirely unique text with no repeats whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_shingles"])
+        for r in dedup.repeated_spans(df, k=4, min_df=2).collect()
+    }
+    # doc 0: boilerplate starts at token 3, 9 tokens -> span [3, 12), 6 shingles
+    assert spans[0] == (3, 12, 6)
+    # doc 1: starts at 0 -> [0, 9)
+    assert spans[1] == (0, 9, 6)
+    assert 2 not in spans
