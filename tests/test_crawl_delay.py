@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from mycelium_spark.plans.crawl import CrawlEngine
 
 
-def _pages(spark, n_per_host=8):
+def _pages(spark, n_per_host=6):
     rows = []
     for host in ("slow.example", "fast.example"):
         for i in range(n_per_host):
@@ -48,12 +48,12 @@ def test_crawl_delay_budget(spark, tmp_path, enforce):
         per_host_budget=4, exact_robots=False,
         enforce_crawl_delay=enforce, round_period_sec=5.0,
     )
-    seeds = [(i, f"http://slow.example/p{i}") for i in range(8)] + [
-        (100 + i, f"http://fast.example/p{i}") for i in range(8)
+    seeds = [(i, f"http://slow.example/p{i}") for i in range(6)] + [
+        (100 + i, f"http://fast.example/p{i}") for i in range(6)
     ]
     eng.seed(seeds)
     per_round_slow = []
-    for _ in range(8):
+    for _ in range(5):
         s = eng.run_round()
         docs = eng.cat.read("docs")
         slow_so_far = docs.filter(F.col("url").startswith("http://slow.")).count()
@@ -62,12 +62,12 @@ def test_crawl_delay_budget(spark, tmp_path, enforce):
             break
     docs = eng.docs_latest()
     # everything crawled eventually in both modes
-    assert docs.count() == 16
+    assert docs.count() == 12
     slow_increments = [b - a for a, b in zip([0] + per_round_slow, per_round_slow)]
     if enforce:
         # Crawl-delay 2.5s, period 5s → budget floor(5/2.5)=2 per round
         assert max(slow_increments) <= 2
-        assert len([x for x in slow_increments if x]) >= 4  # spread over rounds
+        assert len([x for x in slow_increments if x]) >= 3  # spread over rounds
     else:
         # parity: full budget 4 per round, done in 2 rounds for slow host
         assert max(slow_increments) == 4
