@@ -1,0 +1,150 @@
+"""Duplicate-cluster resolution: near-dup *pairs* → keep/drop *decisions*.
+
+Every near-dup family in ``operators/dedup.py`` (MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine) emits verified pairs ``(id_a, id_b)``.
+A training-data dedup run needs one more step — resolve the transitive
+clusters those pairs imply and pick one survivor per cluster (round-2
+verdict, Next round #1). The reference has no analog (its dedup is the
+Mongo upsert keyed on URL, /root/reference/src/common/Doc.cc:79); this is
+pipeline-brief scope.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(a.k.a. hash-to-min / path compression — Rastogi et al. 2013):
+
+* state: ``(node, comp)`` — ``comp`` starts as the node's own id;
+* propagate: ``comp(v) ← min(comp(v), min over neighbors comp(u))``;
+* pointer-jump: ``comp(v) ← comp(comp(v))`` (labels are node ids, so the
+  state table doubles as the parent table) — this is the path-compression
+  step that turns O(diameter) convergence into O(log diameter);
+* fixpoint: stop when no label changed.
+
+At the fixpoint ``comp(v) = min(doc_id in v's component)``, so the
+survivor rule "keep the smallest doc_id" is ``keep = (node == comp)``.
+
+Scale notes (100 TB corpus, 10^9+ pairs): every iteration is three
+key-hashed shuffles over tables sized O(E) / O(V) — never the pair-square
+space; the per-iteration ``localCheckpoint(eager=True)`` truncates lineage
+so the plan does not grow exponentially across iterations (the round-1
+iterative-loop lesson; on a real cluster point ``spark.checkpoint`` at a
+reliable dir instead for executor-loss recovery). Dup clusters on web
+corpora are near-cliques (tiny diameter), so the loop typically converges
+in 2-3 iterations; pointer jumping bounds pathological template-chain
+corpora at O(log n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Resolve transitive duplicate clusters from near-dup pairs.
+
+    Returns ``(out_id, cluster_id, keep)`` for every node that appears in
+    at least one pair: ``cluster_id`` is the minimum doc id in the node's
+    connected component and ``keep`` marks the one survivor per cluster.
+    Singleton documents (no pair) are trivially their own survivor and are
+    omitted — the output stays O(nodes-with-duplicates), not O(corpus).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    e = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # pairs is usually an expensive LSH plan — cut it off so the loop
+        # below re-reads materialized edges, not the banding join, each time
+        .localCheckpoint(eager=True)
+    )
+    a = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(a.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("_nbr_min"))
+        )
+        prop = a.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("_nbr_min", F.col("comp"))).alias("comp"),
+        )
+        # pointer-jump: labels are node ids, so prop itself maps label→its
+        # (possibly smaller) label; left join in case a label's own row
+        # isn't materialized yet this iteration
+        jumped = (
+            prop.join(
+                prop.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_comp2")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("_comp2", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            jumped.join(a.withColumnRenamed("comp", "_comp_old"), "node")
+            .filter(F.col("comp") != F.col("_comp_old"))
+            .count()
+        )
+        a = jumped
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+    return a.select(
+        F.col("node").alias(out_id),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("node")).alias("keep"),
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply cluster decisions: the corpus minus dropped duplicates.
+
+    ``clusters`` is ``connected_components(...)`` output; rows absent from
+    it are singletons and pass through. The drop list is an anti-join key
+    set (id-only shuffle, never document bodies)."""
+    drops = clusters.filter(~F.col("keep")).select(id_col)
+    return docs.join(drops, id_col, "left_anti")
+
+
+def connected_components_sql(pairs_sql: str, out_id: str = "doc_id") -> str:
+    """DuckDB oracle twin: recursive-CTE reachability over the SAME pairs.
+
+    ``reach(node, lbl)`` enumerates every (node, label-that-reaches-it);
+    min(lbl) per node is the component minimum — identical semantics to
+    the Spark fixpoint, derived independently (BFS closure, not label
+    propagation)."""
+    return f"""
+WITH RECURSIVE pairs AS ( {pairs_sql} ),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS ( SELECT DISTINCT src AS node FROM edges ),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS {out_id}, CAST(min(lbl) AS BIGINT) AS cluster_id,
+       (min(lbl) = node) AS keep
+FROM reach GROUP BY node
+"""
