@@ -351,17 +351,24 @@ def main() -> None:
         result["queries"] = qtimes
         spark.stop()
 
-        # --- measurement legs: fresh session per (rep, cores), best across
-        # reps. Core counts are INTERLEAVED within each repetition so a
-        # co-tenant load burst hits both legs of a rep, not just one — on
-        # this shared box CPU-steal swings 0.1%..5% between windows and a
-        # sequential 8-block/32-block schedule corrupts the efficiency
-        # ratio. Per-rep steal is recorded for the judge. ---
+        # --- measurement legs: fresh session per (rep, cores). Core counts
+        # are INTERLEAVED within each repetition so a co-tenant load burst
+        # hits both legs of a rep, not just one — on this shared box
+        # CPU-steal swings 0.1%..9% between minutes and a sequential
+        # 8-block/32-block schedule corrupts the efficiency ratio. The
+        # raw-multiprocessing envelope control runs INSIDE each rep window
+        # too, so every window yields a complete (engine-eff, envelope-eff,
+        # steal) tuple and the artifact of record carries the
+        # median-of-windows efficiency_vs_envelope itself (round-2 verdict
+        # item 4 — this evidence used to live only in BASELINE.md prose). ---
         small = CPUS // 4
         core_list = [CPUS] if (SKIP_SCALING or CPUS < 8) else [small, CPUS]
-        reps = 1 if len(core_list) == 1 else 2
+        reps = 1 if len(core_list) == 1 else 3
         walls: dict[int, dict] = {c: {} for c in core_list}
+        rep_walls: list[dict] = []
+        windows: list[dict] = []
         for rep in range(reps):
+            this_rep: dict = {c: {} for c in core_list}
             for cores in core_list:
                 s = _session(cores, f"bench-{cores}-r{rep}")
                 _warmup(s)
@@ -370,6 +377,7 @@ def main() -> None:
                     # best-of-2 INSIDE the session: the first run pays JIT
                     # compilation of the codegen'd stages, the second is hot
                     r = _best(job, s, tmp, runs=2)
+                    this_rep[cores][stage] = r
                     prev = walls[cores].get(stage)
                     if prev is None or r["wall_sec"] < prev["wall_sec"]:
                         walls[cores][stage] = r
@@ -385,6 +393,25 @@ def main() -> None:
                         ),
                     }
                 s.stop()
+            rep_walls.append(this_rep)
+            if len(core_list) == 2:
+                env = python_envelope(small, CPUS)
+                ratio = CPUS / small
+                win: dict = {"rep": rep, "envelope_efficiency": env["efficiency"]}
+                for stage in ("schedule_dedup", "extract"):
+                    w_s = this_rep[small][stage]["wall_sec"]
+                    w_l = this_rep[CPUS][stage]["wall_sec"]
+                    eff = round(w_s / w_l / ratio, 3)
+                    win[stage] = {
+                        "efficiency": eff,
+                        "efficiency_vs_envelope": (
+                            round(eff / env["efficiency"], 3)
+                            if env["efficiency"] > 0 else None
+                        ),
+                        "steal_small_pct": this_rep[small][stage]["cpu_steal_pct"],
+                        "steal_large_pct": this_rep[CPUS][stage]["cpu_steal_pct"],
+                    }
+                windows.append(win)
 
         fj, ej = walls[CPUS]["schedule_dedup"], walls[CPUS]["extract"]
         result["frontier"] = {
@@ -397,33 +424,32 @@ def main() -> None:
         }
 
         if len(core_list) == 2:
-            scaling = {"cores_small": small, "cores_large": CPUS}
-            ratio = CPUS / small
+            import statistics
+
+            scaling = {"cores_small": small, "cores_large": CPUS, "windows": windows}
             for stage, unit_rows in (
                 ("schedule_dedup", N_FRONTIER),
                 ("extract", N_PAGES),
             ):
                 thr_s = unit_rows / walls[small][stage]["wall_sec"]
                 thr_l = unit_rows / walls[CPUS][stage]["wall_sec"]
+                effs = [w[stage]["efficiency"] for w in windows]
+                vs_env = [
+                    w[stage]["efficiency_vs_envelope"]
+                    for w in windows
+                    if w[stage]["efficiency_vs_envelope"] is not None
+                ]
                 scaling[stage] = {
                     "throughput_small": round(thr_s, 1),
                     "throughput_large": round(thr_l, 1),
-                    "efficiency": round(thr_l / thr_s / ratio, 3),
+                    "efficiency_median": round(statistics.median(effs), 3),
+                    "efficiency_vs_envelope_median": (
+                        round(statistics.median(vs_env), 3) if vs_env else None
+                    ),
                 }
-            w_s = walls[small]["schedule_dedup"]["wall_sec"] + walls[small]["extract"]["wall_sec"]
-            w_l = walls[CPUS]["schedule_dedup"]["wall_sec"] + walls[CPUS]["extract"]["wall_sec"]
-            scaling["round_combined"] = {
-                "wall_small_sec": round(w_s, 3),
-                "wall_large_sec": round(w_l, 3),
-                "efficiency": round(w_s / w_l / ratio, 3),
-            }
-            env = python_envelope(small, CPUS)
-            scaling["python_multiprocessing_envelope"] = env
-            if env["efficiency"] > 0:
-                for stage in ("schedule_dedup", "extract", "round_combined"):
-                    scaling[stage]["efficiency_vs_envelope"] = round(
-                        scaling[stage]["efficiency"] / env["efficiency"], 3
-                    )
+            scaling["envelope_efficiency_median"] = round(
+                statistics.median(w["envelope_efficiency"] for w in windows), 3
+            )
             result["scaling"] = scaling
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -433,7 +459,13 @@ def main() -> None:
         % (N_FRONTIER, N_PAGES, len(result.get("queries", {})), SF)
     )
     result["value"] = round(time.time() - t_total, 3)
-    print(json.dumps(result))
+    # Artifact of record: durable file (the driver's stdout tail capture
+    # truncated BENCH_r02.json) + ONE compact line as the very last stdout.
+    line = json.dumps(result, separators=(",", ":"))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":
