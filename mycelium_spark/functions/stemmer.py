@@ -1,12 +1,15 @@
-"""Porter stemmer (T3) — the indexing pipeline's stemming stage.
+"""Porter / Porter2 stemmers (T3) — the indexing pipeline's stemming stage.
 
 The reference bundles the Snowball C library for this slot
 (/root/reference/3rd_party/libstemmer_c; usage doc
-doc/sphinx/source/stemmer.rst:1-13) but never wires it into the crawl
-path ("Tokenizer/Stemmer: work in progress", README.txt:21-23). This is a
-from-scratch implementation of the classic Porter (1980) algorithm —
-public domain algorithm — sufficient for the postings build; swap in a
-Snowball binding for exact Porter2 behavior if the dependency appears.
+doc/sphinx/source/stemmer.rst:6-13 documents ``Stemmer('english')``, i.e.
+Porter2). ``porter2_stem`` below is a from-scratch implementation of the
+published Porter2 / Snowball-English algorithm (public algorithm,
+snowballstem.org) and is parity-pinned in tests against the output of the
+reference's own compiled libstemmer_c over a 47k-word vocabulary
+(tests/fixtures/porter2_vocab.tsv). ``porter_stem`` (classic Porter 1980,
+a genuinely different algorithm — e.g. "generously"→"gener" vs
+Porter2's "generous") is kept for comparison and for the divergence test.
 """
 
 from __future__ import annotations
@@ -147,3 +150,204 @@ def porter_stem(word: str) -> str:
     if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
         w = w[:-1]
     return w
+
+
+# ====================================================================
+# Porter2 (Snowball English) — the reference's documented stemmer
+# ====================================================================
+# Implemented from the published algorithm description; every structural
+# quirk below (longest-suffix match LIMITED to the R1/R2 region, the
+# atmark-p1 short-word test in step 1b, gener/commun/arsen R1 prefixes)
+# follows the Snowball english.sbl semantics.
+
+_V2 = frozenset("aeiouy")  # consonant-y is rewritten to 'Y' (not in set)
+_DOUBLE2 = frozenset(("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt"))
+_LI_END = frozenset("cdeghkmnrt")
+
+_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EXC2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+# (suffix, replacement) longest-first; None replacement = conditional action
+_P2_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"),
+    ("tional", "tion"), ("biliti", "ble"), ("lessli", "less"),
+    ("entli", "ent"), ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+    ("enci", "ence"), ("anci", "ance"), ("abli", "able"), ("izer", "ize"),
+    ("alli", "al"), ("ator", "ate"),
+    ("bli", "ble"), ("ogi", None),
+    ("li", None),
+)
+_P2_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"),
+    ("alize", "al"), ("icate", "ic"), ("iciti", "ic"), ("ative", None),
+    ("ical", "ic"), ("ness", ""),
+    ("ful", ""),
+)
+_P2_STEP4 = (
+    "ement",
+    "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+    "al", "er", "ic",
+)
+
+
+def _shortv(w: str, i: int) -> bool:
+    """Short-syllable test with the cursor at position i (end of region):
+    ...[non-v][v][non-v except w/x/Y]  or the whole word is [v][non-v]."""
+    if i >= 3 and w[i - 1] not in _V2 and w[i - 1] not in "wxY" \
+            and w[i - 2] in _V2 and w[i - 3] not in _V2:
+        return True
+    return i == 2 and w[0] in _V2 and w[1] not in _V2
+
+
+def _gopast_v(w: str, i: int) -> int | None:
+    while i < len(w):
+        if w[i] in _V2:
+            return i + 1
+        i += 1
+    return None
+
+
+def _gopast_nonv(w: str, i: int) -> int | None:
+    while i < len(w):
+        if w[i] not in _V2:
+            return i + 1
+        i += 1
+    return None
+
+
+def _mark_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    p1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            p1 = len(pre)
+            break
+    else:
+        i = _gopast_v(w, 0)
+        if i is not None:
+            i = _gopast_nonv(w, i)
+        if i is not None:
+            p1 = i
+    p2 = n
+    i = _gopast_v(w, p1)
+    if i is not None:
+        i = _gopast_nonv(w, i)
+    if i is not None:
+        p2 = i
+    return p1, p2
+
+
+def porter2_stem(word: str) -> str:
+    w = word.lower()
+    if w in _EXC1:
+        return _EXC1[w]
+    if len(w) < 3:
+        return w
+    # prelude: strip one leading apostrophe; mark consonant-y as Y
+    if w[0] == "'":
+        w = w[1:]
+    chars = list(w)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _V2):
+            chars[i] = "Y"
+    w = "".join(chars)
+    p1, p2 = _mark_regions(w)
+
+    # step 0: longest of 's' / 's / '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-3] + ("i" if len(w) >= 5 else "ie")
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(c in _V2 for c in w[:-2]):
+            w = w[:-1]
+    if w in _EXC2:
+        return w.replace("Y", "y")
+    # step 1b
+    for suf in ("eedly", "ingly", "eed", "edly", "ing", "ed"):
+        if w.endswith(suf):
+            if suf in ("eed", "eedly"):
+                if len(w) - len(suf) >= p1:
+                    w = w[: len(w) - len(suf)] + "ee"
+            else:
+                stem = w[: len(w) - len(suf)]
+                if any(c in _V2 for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w[-2:] in _DOUBLE2:
+                        w = w[:-1]
+                    elif len(w) == p1 and _shortv(w, len(w)):
+                        w += "e"
+            break
+    # step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if len(w) >= 3 and w[-1] in "yY" and w[-2] not in _V2:
+        w = w[:-1] + "i"
+    # Steps 2-4 commit to the LONGEST matching word suffix, THEN test the
+    # R1/R2 condition — if it fails nothing happens (no fallback to a
+    # shorter suffix). This is the bundled libstemmer's among semantics
+    # (find_among_b unrestricted, then r_R1/r_R2 as a guard): "element"
+    # keeps 'ement' out of R2 and must NOT fall back to deleting 'ent'.
+    # step 2 (in R1)
+    for suf, repl in _P2_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                stem = w[: len(w) - len(suf)]
+                if suf == "ogi":
+                    if stem.endswith("l"):
+                        w = stem + "og"
+                elif suf == "li":
+                    if stem and stem[-1] in _LI_END:
+                        w = stem
+                else:
+                    w = stem + repl
+            break
+    # step 3 (in R1; 'ative' additionally needs R2)
+    for suf, repl in _P2_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                stem = w[: len(w) - len(suf)]
+                if suf == "ative":
+                    if len(stem) >= p2:
+                        w = stem
+                else:
+                    w = stem + repl
+            break
+    # step 4 (in R2; 'ion' additionally needs preceding s/t)
+    for suf in _P2_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p2:
+                stem = w[: len(w) - len(suf)]
+                if suf == "ion":
+                    if stem.endswith(("s", "t")):
+                        w = stem
+                else:
+                    w = stem
+            break
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (len(w) - 1 >= p1 and not _shortv(w, len(w) - 1)):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if len(w) - 1 >= p2 and len(w) >= 2 and w[-2] == "l":
+            w = w[:-1]
+    return w.replace("Y", "y")

@@ -74,13 +74,21 @@ FROM dt GROUP BY term
 """
 
 
-def stemmed_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """T3+A5: postings over Porter-stemmed terms (pandas-UDF stemming stage,
-    then the same groupBy-sort aggregation)."""
+def stemmed_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    algorithm: str = "porter2",
+) -> DataFrame:
+    """T3+A5: postings over stemmed terms (pandas-UDF stemming stage, then
+    the same groupBy-sort aggregation). Default is Porter2 — the
+    reference's documented stemmer (Stemmer('english'), stemmer.rst:6-13),
+    parity-pinned against its bundled libstemmer_c; ``algorithm='porter'``
+    selects classic Porter 1980."""
     import pandas as pd
     from pyspark.sql import functions as FF
 
-    from ..functions.stemmer import porter_stem
+    from ..functions.stemmer import porter2_stem, porter_stem
+
+    stem_fn = porter2_stem if algorithm == "porter2" else porter_stem
 
     def stem_series(terms: pd.Series) -> pd.Series:
         cache: dict[str, str] = {}
@@ -88,7 +96,7 @@ def stemmed_postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         for t in terms:
             s = cache.get(t)
             if s is None:
-                s = porter_stem(t)
+                s = stem_fn(t)
                 cache[t] = s
             out.append(s)
         return pd.Series(out)

@@ -666,15 +666,17 @@ _ORACLE_SF_DIR = os.environ.get(
 )
 
 
-def _stemmed_postings_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+def _stemmed_postings_oracle(sf_dir: str | None = None) -> str:
     import re
     from collections import defaultdict
 
     import pyarrow.parquet as pq
 
-    from ..functions.stemmer import porter_stem
+    from ..functions.stemmer import porter2_stem
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pq.read_table(
+        f"{sf_dir or _ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
     word_re = re.compile(r"\w+", re.ASCII)  # JVM/RE2 \w == ASCII word chars
     per_term: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
     stem_cache: dict[str, str] = {}
@@ -683,7 +685,7 @@ def _stemmed_postings_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
             if word_re.fullmatch(t):
                 s = stem_cache.get(t)
                 if s is None:
-                    s = porter_stem(t)
+                    s = porter2_stem(t)
                     stem_cache[t] = s
                 per_term[s][did] += 1
     rows = sorted(
@@ -696,7 +698,7 @@ def _stemmed_postings_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
     )
 
 
-def _multimodal_features_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+def _multimodal_features_oracle(sf_dir: str | None = None) -> str:
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
@@ -704,7 +706,9 @@ def _multimodal_features_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
 
     from ..operators.multimodal import _fake_features
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = pq.read_table(
+        f"{sf_dir or _ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
     rows = []
     for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
         v = _fake_features(text.encode("utf-8"), 8)
