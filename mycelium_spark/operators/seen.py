@@ -128,8 +128,15 @@ class BloomSeen:
             # 10^10 design point where even that exceeds driver memory, the
             # same frame is written straight to per-shard parquet and the
             # merge runs shard-local — the membership path is unchanged.)
+            # The version is bumped ONLY after every shard file for it is on
+            # disk: the distributed build (toPandas triggers the job) can
+            # fail, and a pre-bumped version with missing shard files would
+            # make prefilter treat every key of those shards as
+            # definitively-new — silent false negatives in confirm=False
+            # mode (ADVICE round 2). Until the final assignment below, all
+            # reads/writes use explicit version numbers.
             old_version = self.version
-            self.version += 1
+            new_version = old_version + 1
             words = self._words_df(df, url_col).toPandas()
             written: set[int] = set()
             if len(words):
@@ -145,21 +152,42 @@ class BloomSeen:
                         continue
                     bits = self._load_or_zero(s, old_version)
                     np.bitwise_or.at(bits, w[lo:hi], b[lo:hi])
-                    np.save(self._shard_path(s), bits)
+                    np.save(self._shard_path(s, new_version), bits)
                     written.add(s)
-            # Carry forward untouched shards by HARDLINK and keep the previous
-            # version's files intact: prefilter plans are lazy, so a plan built
-            # against version v may execute after an add_df bumped to v+1 (the
-            # crawl round does exactly this). Only v-1 is stale by then.
+            # Carry forward untouched shards by HARDLINK. Older versions are
+            # NOT deleted here — prefilter plans are lazy, and a plan built
+            # several add_df calls ago may still be pending; stale-version
+            # GC happens only on an explicit expire() at a point the caller
+            # knows is quiescent (the crawl round calls it after its
+            # commits have executed).
             for s in range(self.n_shards):
                 old = self._shard_path(s, old_version)
                 if s not in written and os.path.exists(old):
-                    os.link(old, self._shard_path(s))
-                stale = self._shard_path(s, old_version - 1)
-                if old_version >= 1 and os.path.exists(stale):
-                    os.remove(stale)
+                    os.link(old, self._shard_path(s, new_version))
+            self.version = new_version
         finally:
             spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", arrow_was)
+
+    def expire(self, keep: int = 2) -> int:
+        """Delete shard bitmap files older than the newest ``keep``
+        versions. Callers invoke this at a quiescent point (no lazy
+        prefilter plan older than ``keep`` add_df calls still pending);
+        returns the number of files removed."""
+        if self.n_shards == 1 or self.shard_dir is None:
+            return 0
+        cutoff = self.version - keep + 1
+        removed = 0
+        for fname in os.listdir(self.shard_dir):
+            if not (fname.startswith("shard_") and fname.endswith(".npy")):
+                continue
+            try:
+                v = int(fname.rsplit(".v", 1)[1][: -len(".npy")])
+            except (IndexError, ValueError):
+                continue
+            if v < cutoff:
+                os.remove(os.path.join(self.shard_dir, fname))
+                removed += 1
+        return removed
 
     def _load_or_zero(self, shard: int, version: int) -> np.ndarray:
         p = self._shard_path(shard, version)

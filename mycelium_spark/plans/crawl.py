@@ -100,6 +100,7 @@ class CrawlEngine:
         workdir: str,
         pages: DataFrame,
         robots_fixtures: DataFrame | None = None,
+        robots_from_pages: bool = False,
         user_agent: str = DEFAULT_UA,
         per_host_budget: int = 8,
         n_buckets: int = 32,
@@ -137,21 +138,29 @@ class CrawlEngine:
             else None
         )
         self._udfs_ready = False
-        # robots_rules: parsed + cached + broadcast at gate time
+        # robots_rules: parsed + cached + broadcast at gate time.
+        # Sources, in precedence order:
+        #   robots_fixtures — explicit (host, status, robots_txt) rows
+        #     (kept for tests / injected corpora);
+        #   robots_from_pages — FIXTURE-FREE parity path: robots come from
+        #     the pages table itself, keyed http://<host>/robots.txt, the
+        #     same fetch path as every other URL — exactly how the
+        #     reference fetches them (crawler.cc:1068-1101 forces scheme
+        #     http + path /robots.txt through the shared curl pool). A
+        #     host with no such row never produced a robots doc →
+        #     NOT_AVAILABLE/absent ⇒ allowed, same as the fetch-failure
+        #     branch.
         if robots_fixtures is not None:
-            from pyspark.sql.types import IntegerType, StringType, StructField, StructType
-
-            schema = StructType(
-                [
-                    StructField("host", StringType()),
-                    StructField("state", IntegerType()),
-                    StructField("groups_json", StringType()),
-                ]
+            self.robots_rules = self._parse_robots(robots_fixtures)
+        elif robots_from_pages:
+            rob_rows = pages.filter(
+                F.col("url").rlike(r"^http://[^/]+/robots\.txt$")
+            ).select(
+                F.regexp_extract("url", r"^http://([^/]+)/robots\.txt$", 1).alias("host"),
+                F.lit(200).alias("status"),
+                F.col("html").alias("robots_txt"),
             )
-            exact = exact_robots
-            self.robots_rules = robots_fixtures.mapInPandas(
-                lambda it: parse_robots_rows(it, exact), schema
-            ).cache()
+            self.robots_rules = self._parse_robots(rob_rows)
         else:
             self.robots_rules = None
         # resume support: rebuild the Bloom from the committed seen table
@@ -159,6 +168,20 @@ class CrawlEngine:
             seen = self.cat.read("seen")
             if seen is not None:
                 self.bloom.add_df(seen, "url")
+
+    def _parse_robots(self, rows: DataFrame) -> DataFrame:
+        """(host, status, robots_txt) → cached (host, state, groups_json)."""
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("host", StringType()),
+                StructField("state", IntegerType()),
+                StructField("groups_json", StringType()),
+            ]
+        )
+        exact = self.exact_robots
+        return rows.mapInPandas(lambda it: parse_robots_rows(it, exact), schema).cache()
 
     # --- seeding (S1 ingest parity: absolute + http only, crawler.cc:1297) ---
     def seed(self, seed_rows: list[tuple[int, str]]) -> int:
@@ -281,9 +304,17 @@ class CrawlEngine:
             ~F.col("allowed")
         ).drop("allowed")
 
-    def _host_budgets(self) -> DataFrame:
+    def _host_budgets(self, rnd: int) -> DataFrame:
         """(host, _budget) from parsed robots Crawl-delay for our UA —
-        only hosts that declare a delay appear (others default upstream)."""
+        only hosts that declare a delay appear (others default upstream).
+
+        delay <= round_period: the host gets floor(period/delay) fetches
+        per round (capped). delay > round_period: flooring at 1 would cap
+        the effective delay at the round period (under-enforcement), so
+        the host is instead scheduled only every ceil(delay/period)-th
+        round — budget 1 when ``rnd % stride == 0``, else 0 (deferred)."""
+        import math
+
         from pyspark.sql.types import IntegerType
 
         exact = self.exact_robots
@@ -300,8 +331,11 @@ class CrawlEngine:
                 delay = _robots_from_json(gj, exact).crawl_delay(ua)
                 if delay is None or delay <= 0:
                     out.append(None)
-                else:
+                elif delay <= period:
                     out.append(max(1, min(cap, int(period / delay))))
+                else:
+                    stride = math.ceil(delay / period)
+                    out.append(1 if rnd % stride == 0 else 0)
             return pd.Series(out, dtype="object")
 
         budget_udf = F.pandas_udf(budget_fn, IntegerType())
@@ -325,7 +359,7 @@ class CrawlEngine:
 
         # 1. politeness budget (optionally Crawl-delay-scaled per host)
         if self.enforce_crawl_delay and self.robots_rules is not None:
-            budgets = self._host_budgets()
+            budgets = self._host_budgets(r)
             gated_frontier = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
                 "_budget", F.coalesce(F.col("_budget"), F.lit(self.per_host_budget))
             )
@@ -447,6 +481,9 @@ class CrawlEngine:
         new_seen = scheduled.select("url")
         if self.bloom is not None:
             self.bloom.add_df(new_seen, "url")
+            # quiescent point for version GC: every plan built against an
+            # older filter version has been executed by the counts above
+            self.bloom.expire(keep=2)
         self.cat.commit("docs", docs, mode="append", meta={"round": r})
         self.cat.commit("links", links.drop("src_seq"), mode="append", meta={"round": r})
         self.cat.commit("seen", new_seen, mode="append", meta={"round": r})

@@ -635,6 +635,83 @@ def ann_topk_indexed_q(spark, sf_dir):
     similarity.build_ann_index(emb, path, n_planes=6)
     return similarity.ann_topk_indexed(spark, path, _Q64, 10, n_planes=6, multiprobe=1)
 
+def _ivf_topk_oracle(sf_dir: str | None = None) -> str:
+    """Independent single-process recompute of the full IVF path (train →
+    assign → probe → cosine top-k) in numpy over the same parquet; cosine
+    folds SEQUENTIALLY (Python float = IEEE double = the JVM aggregate
+    fold) and rounds HALF_UP like Spark's round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.ivf import _det_rng
+
+    n_centroids, sample_rows, n_iters, nprobe, k = 8, 20_000, 10, 2, 10
+    tbl = pq.read_table(
+        f"{sf_dir or _ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    vecs = [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X_all = np.stack([vecs[i] for i in order])
+    # train: identical numpy ops/seed as operators.ivf.train_centroids
+    X = X_all[:sample_rows]
+    rng = _det_rng("ivf-init")
+    C = X[rng.choice(len(X), n_centroids, replace=False)].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for kk in range(n_centroids):
+            members = X[assign == kk]
+            if len(members):
+                C[kk] = members.mean(axis=0)
+            else:
+                C[kk] = X[d2.min(axis=1).argmax()]
+    # assign all rows; probe the query's nprobe nearest lists
+    cn = (C * C).sum(axis=1)
+    lists = (cn[None, :] - 2.0 * (X_all @ C.T)).argmin(axis=1)
+    q = np.asarray(_Q64, dtype=np.float64)
+    probe = set(((C - q[None, :]) ** 2).sum(axis=1).argsort()[:nprobe].tolist())
+    qn = sum(x * x for x in _Q64) ** 0.5
+    rows = []
+    for i in range(len(ids)):
+        if int(lists[i]) not in probe:
+            continue
+        dot = 0.0
+        nrm = 0.0
+        for x, y in zip(X_all[i], q):
+            dot += float(x) * float(y)
+        for x in X_all[i]:
+            nrm += float(x) * float(x)
+        cos = dot / ((nrm ** 0.5) * qn)
+        cos = float(Decimal(cos).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        rows.append((int(ids[i]), cos))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    vals = ", ".join(f"({i}, CAST({c!r} AS DOUBLE))" for i, c in rows[:k])
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, cosine "
+        f"FROM (VALUES {vals}) AS t(vec_id, cosine)"
+    )
+
+
+@register("ivf_topk", _ivf_topk_oracle)
+def ivf_topk_q(spark, sf_dir):
+    """IVF ANN end-to-end: deterministic k-means train, list-partitioned
+    index write, partition-pruned nprobe probe (operators/ivf.py). The
+    train sample is the vec_id-sorted prefix so the oracle's recompute
+    sees the identical sample."""
+    import tempfile
+
+    from ..operators import ivf
+
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    emb = _read(spark, sf_dir, "embeddings").orderBy("vec_id")
+    ivf.build_ivf_index(emb, path, n_centroids=8, sample_rows=20_000)
+    return ivf.ivf_topk(spark, path, _Q64, k=10, nprobe=2)
+
+
 register("lang_id", quality.lang_id_sql())(
     lambda spark, sf_dir: quality.lang_id(_read(spark, sf_dir, "documents"))
 )

@@ -52,9 +52,15 @@ class Catalog:
         with open(os.path.join(self.root, table, f"manifest-{snap}.json")) as f:
             return json.load(f)
 
-    def _publish(self, table: str, snap: int, dirs: list[str], meta: dict | None) -> None:
+    def _publish(
+        self, table: str, snap: int, dirs: list[str], meta: dict | None,
+        partition_spec: list[str] | None = None,
+    ) -> None:
         tdir = self._tdir(table)
-        manifest = {"snapshot": snap, "dirs": dirs, "meta": meta or {}, "ts": time.time()}
+        manifest = {
+            "snapshot": snap, "dirs": dirs, "meta": meta or {},
+            "partition_spec": partition_spec or [], "ts": time.time(),
+        }
         mpath = os.path.join(tdir, f"manifest-{snap}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -79,14 +85,27 @@ class Catalog:
         ``df=None`` commits a metadata-only snapshot (same data as before).
         ``partition_by`` hive-partitions the snapshot's data directory so
         later reads prune on those columns (e.g. the frontier bucketed by
-        host bucket — Iceberg's partition spec analog).
+        host bucket — Iceberg's partition spec analog). The spec is
+        recorded in the manifest; an ``append`` whose spec differs from
+        the table's existing layout is REJECTED — mixing hive-partitioned
+        and flat snapshot dirs under one table silently drops/nulls the
+        partition columns at read time (Iceberg would call this an
+        incompatible partition-spec evolution).
         """
         tdir = self._tdir(table)
         prev = self.latest_snapshot(table)
         snap = prev + 1
+        spec = list(partition_by or [])
         dirs: list[str] = []
         if mode == "append" and prev >= 0:
-            dirs = list(self._manifest(table, prev)["dirs"])
+            prev_manifest = self._manifest(table, prev)
+            dirs = list(prev_manifest["dirs"])
+            prev_spec = prev_manifest.get("partition_spec", [])
+            if dirs and spec != prev_spec:
+                raise ValueError(
+                    f"append to '{table}' with partition_by={spec} but existing "
+                    f"layout is {prev_spec}; overwrite or compact() first"
+                )
         if df is not None:
             data_dir = os.path.join(tdir, f"s{snap}")
             writer = df.write.mode("overwrite")
@@ -94,7 +113,7 @@ class Catalog:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(data_dir)
             dirs.append(data_dir)
-        self._publish(table, snap, dirs, meta)
+        self._publish(table, snap, dirs, meta, partition_spec=spec)
         return snap
 
     # --- maintenance (the Iceberg MERGE/expire analogs) ---
@@ -166,13 +185,24 @@ class Catalog:
         return removed
 
     def read(self, table: str) -> DataFrame | None:
-        """Latest committed snapshot as a DataFrame; None if table absent/empty."""
+        """Latest committed snapshot as a DataFrame; None if table absent/empty.
+
+        Partitioned tables with multiple append dirs are read per-dir and
+        unioned: Spark's multi-root partition discovery needs a shared
+        basePath, and the snapshot dirs (s0, s1, ...) are sibling roots,
+        not partition values."""
         snap = self.latest_snapshot(table)
         if snap < 0:
             return None
-        dirs = self._manifest(table, snap)["dirs"]
+        manifest = self._manifest(table, snap)
+        dirs = manifest["dirs"]
         if not dirs:
             return None
+        if manifest.get("partition_spec") and len(dirs) > 1:
+            from functools import reduce
+
+            parts = [self.spark.read.parquet(d) for d in dirs]
+            return reduce(lambda a, b: a.unionByName(b), parts)
         return self.spark.read.parquet(*dirs)
 
     def meta(self, table: str) -> dict:

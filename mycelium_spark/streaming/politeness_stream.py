@@ -43,6 +43,7 @@ OUT_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("seq", LongType()),
         StructField("emitted_pos", IntegerType()),  # 1..budget within this batch
+        StructField("dropped_so_far", LongType()),  # cumulative overflow drops
     ]
 )
 
@@ -81,7 +82,13 @@ def _throttle_fn(budget: int, state_cap: int, timeout_ms: int):
         if len(rest) > state_cap:  # overflow-queue analog: drop + count
             dropped += len(rest) - state_cap
             rest = rest[:state_cap]
-        if rest or dropped:
+        # state persists ONLY while a backlog remains: a drained host must
+        # not keep re-arming its timeout just to carry the drop counter
+        # (state-store growth + a never-idle query — ADVICE round 2). The
+        # counter rides along in the output instead; drops can only happen
+        # in a batch that also emits (drop requires backlog > budget+cap),
+        # so the final cumulative value is always emitted before removal.
+        if rest:
             state.update(
                 (
                     "\n".join(u for u, _ in rest),
@@ -99,6 +106,7 @@ def _throttle_fn(budget: int, state_cap: int, timeout_ms: int):
                     "url": [u for u, _ in emit],
                     "seq": [s for _, s in emit],
                     "emitted_pos": list(range(1, len(emit) + 1)),
+                    "dropped_so_far": [dropped] * len(emit),
                 }
             )
 

@@ -86,3 +86,31 @@ def test_compacted_docs_equal_window_on_read(spark, tmp_path):
     cat.compact("docs", dedup_key="url", order_col="round")
     materialized = sorted(tuple(r) for r in cat.read("docs").collect())
     assert on_read == materialized
+
+
+def test_partitioned_append_same_spec_reads_whole_history(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "pa"))
+    df1 = spark.createDataFrame([("u1", 0, "a"), ("u2", 1, "b")], ["url", "bucket", "v"])
+    df2 = spark.createDataFrame([("u3", 0, "c"), ("u4", 2, "d")], ["url", "bucket", "v"])
+    cat.commit("t", df1, mode="append", partition_by=["bucket"])
+    cat.commit("t", df2, mode="append", partition_by=["bucket"])
+    out = cat.read("t")
+    assert out.count() == 4
+    # partition-column values survive the multi-snapshot read
+    got = {r.url: r.bucket for r in out.collect()}
+    assert got == {"u1": 0, "u2": 1, "u3": 0, "u4": 2}
+
+
+def test_partitioned_append_spec_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "pm"))
+    df = spark.createDataFrame([("u1", 0, "a")], ["url", "bucket", "v"])
+    cat.commit("t", df, mode="append", partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition_by"):
+        cat.commit("t", df, mode="append")  # flat append onto partitioned
+    with pytest.raises(ValueError, match="partition_by"):
+        cat.commit("t", df, mode="append", partition_by=["v"])
+    # overwrite with a new spec is allowed (layout replaced, not mixed)
+    cat.commit("t", df, mode="overwrite")
+    assert cat.read("t").count() == 1

@@ -71,3 +71,39 @@ def test_crawl_delay_budget(spark, tmp_path, enforce):
     else:
         # parity: full budget 4 per round, done in 2 rounds for slow host
         assert max(slow_increments) == 4
+
+
+def test_crawl_delay_larger_than_round_period(spark, tmp_path):
+    """delay > round_period must NOT floor to one-fetch-every-round: a
+    60 s delay with 5 s rounds means one fetch every ceil(60/5)=12 rounds
+    (ADVICE round 2). With 3 queued URLs, rounds 0..11 fetch exactly one
+    slow-host URL (round 0), the next at round 12."""
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pages = _pages(spark, n_per_host=3)
+    robots = spark.createDataFrame(
+        [
+            ("slow.example", 200, "User-agent: *\nCrawl-delay: 60\n"),
+            ("fast.example", 200, "User-agent: *\n"),
+        ],
+        "host string, status int, robots_txt string",
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd_large"), pages, robots,
+        per_host_budget=4, exact_robots=False,
+        enforce_crawl_delay=True, round_period_sec=5.0,
+    )
+    eng.seed(
+        [(i, f"http://slow.example/p{i}") for i in range(3)]
+        + [(100 + i, f"http://fast.example/p{i}") for i in range(3)]
+    )
+    slow_counts = []
+    for _ in range(13):
+        eng.run_round()
+        docs = eng.cat.read("docs")
+        slow_counts.append(
+            docs.filter(F.col("url").startswith("http://slow.")).count()
+        )
+    # round 0 fetches 1, rounds 1-11 fetch none, round 12 fetches the 2nd
+    assert slow_counts[0] == 1
+    assert slow_counts[11] == 1
+    assert slow_counts[12] == 2

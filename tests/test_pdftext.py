@@ -88,3 +88,68 @@ def test_index_local_files_pdf_200_and_415(spark):
     b = rows["file:///tmp/b.pdf"]
     assert a["http_code"] == 200 and "indexed text" in a["text"]
     assert b["http_code"] == 415 and b["text"] is None
+
+
+# ---- Type0 / ToUnicode composite fonts (round-3 addition) ----
+
+_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"3 beginbfchar\n<0048> <0048>\n<0065> <0065>\n<0001> <00660066>\nendbfchar\n"
+    b"2 beginbfrange\n<006C> <006F> <006C>\n<0041> <0042> [<0058> <0059>]\nendbfrange\n"
+    b"endcmap\nendcmap end\n"
+)
+
+
+def _type0_pdf(content: bytes, cmap: bytes = _CMAP, flate_cmap: bool = False) -> bytes:
+    data = zlib.compress(cmap) if flate_cmap else cmap
+    filt = b" /Filter /FlateDecode" if flate_cmap else b""
+    extra = (
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake"
+        b" /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(data)).encode() + filt + b" >>\n"
+        b"stream\n" + data + b"\nendstream\nendobj\n"
+        b"7 0 obj << /Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+    )
+    return _pdf(content, extra=extra)
+
+
+def test_type0_hex_cids_decode_through_tounicode():
+    # "Hello": H,e via bfchar; l,l,o via the continuous bfrange
+    c = b"BT /F9 12 Tf <00480065006C006C006F> Tj ET"
+    assert pdf_extract_text(_type0_pdf(c)) == "Hello\n"
+
+
+def test_type0_flate_cmap_and_array_range_and_multichar_dst():
+    # X,Y from the array-form bfrange; "ff" ligature from the 2-char dst
+    c = b"BT /F9 12 Tf <00410042> Tj <0001> Tj ET"
+    assert pdf_extract_text(_type0_pdf(c, flate_cmap=True)) == "XYff\n"
+
+
+def test_type0_literal_string_cids():
+    # 2-byte CID codes inside a LITERAL string: \x00H \x00e
+    c = b"BT /F9 12 Tf (\x00H\x00e) Tj ET"
+    assert pdf_extract_text(_type0_pdf(c)) == "He\n"
+
+
+def test_type0_font_switch_mid_stream():
+    # Type0 text, then a simple font: each segment decodes by its own rules
+    c = b"BT /F9 12 Tf <0048> Tj /F1 12 Tf (plain) Tj ET"
+    assert pdf_extract_text(_type0_pdf(c)) == "Hplain\n"
+
+
+def test_type0_all_unmapped_is_415():
+    c = b"BT /F9 12 Tf <FFFE> Tj ET"  # code absent from the CMap
+    assert pdf_extract_text(_type0_pdf(c)) is None
+
+
+def test_type0_without_tounicode_still_415_path():
+    # Type0 font but NO /ToUnicode: hex CIDs stay undecodable → skipped
+    extra = (
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake"
+        b" /Encoding /Identity-H >> endobj\n"
+        b"7 0 obj << /Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+    )
+    c = b"BT /F9 12 Tf <00480065> Tj ET"
+    assert pdf_extract_text(_pdf(c, extra=extra)) is None

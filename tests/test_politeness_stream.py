@@ -82,3 +82,58 @@ def test_throttle_budget_and_fifo(spark, tmp_path):
     # the hot backlog needed >= 3 batches at budget 2 (state carried across)
     hot_batches = {bid for bid, b in batches for r in b if r["host"] == "hot.example"}
     assert len(hot_batches) >= 3
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-driving the throttle kernel."""
+
+    def __init__(self):
+        self._v = None
+        self.exists = False
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_armed = 0
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_armed += 1
+
+
+def _feed(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["url", "seq"]) if rows else None
+    it = iter([pdf]) if pdf is not None else iter([])
+    out = list(fn(("h.example",), it, state))
+    return [tuple(r) for o in out for r in o[["url", "seq", "dropped_so_far"]].itertuples(index=False)]
+
+
+def test_state_removed_after_drain_even_with_drops(spark):
+    from mycelium_spark.streaming.politeness_stream import _throttle_fn
+
+    fn = _throttle_fn(budget=2, state_cap=1, timeout_ms=5)
+    st = _FakeState()
+    # 5 arrivals, budget 2, cap 1 → emit 2, keep 1, drop 2
+    out1 = _feed(fn, st, [(f"u{i}", i) for i in range(5)])
+    assert [u for u, _, _ in out1] == ["u0", "u1"]
+    assert out1[0][2] == 2  # dropped_so_far emitted with the rows
+    assert st.exists and st.timeout_armed == 1
+    # drain batch (timeout fire, no input): backlog empties → state REMOVED
+    st.hasTimedOut = True
+    out2 = _feed(fn, st, [])
+    assert [u for u, _, _ in out2] == ["u2"]
+    assert out2[0][2] == 2  # final cumulative drop count rode out
+    assert st.removed and not st.exists
+    assert st.timeout_armed == 1  # no re-arm after drain: query can idle

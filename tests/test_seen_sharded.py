@@ -99,3 +99,40 @@ def test_crawl_engine_with_sharded_bloom_matches_default(arrow, tmp_path):
             "seen": sorted(r["url"] for r in eng.cat.read("seen").select("url").collect()),
         }
     assert results["single"] == results["sharded"]
+
+
+def test_versions_survive_until_expire_and_failed_build_keeps_version(arrow, tmp_path):
+    import os
+
+    spark = arrow
+    d = tmp_path / "b5"
+    bloom = BloomSeen(num_bits=1 << 13, num_hashes=3, n_shards=4, shard_dir=str(d))
+    old_plan_input = _urls(spark, 0, 100)
+    bloom.add_df(old_plan_input, "url")               # v1
+    stale_plan = bloom.prefilter(old_plan_input, "url")  # lazy, bound to v1 paths
+    bloom.add_df(_urls(spark, 100, 200), "url")       # v2
+    bloom.add_df(_urls(spark, 200, 300), "url")       # v3
+    # no GC inside add_df: the v1 files a 2-adds-old lazy plan needs still exist
+    assert any(".v1." in f for f in os.listdir(d))
+    assert stale_plan.filter(~F.col("maybe_seen")).count() == 0
+    # explicit expire keeps the newest 2 versions only
+    bloom.expire(keep=2)
+    names = os.listdir(d)
+    assert not any(".v1." in f for f in names)
+    assert any(".v2." in f for f in names) and any(".v3." in f for f in names)
+
+    # a FAILED distributed build must not advance the version
+    class Boom(Exception):
+        pass
+
+    bad = spark.createDataFrame([("x",)], ["url"]).select(
+        F.udf(lambda u: (_ for _ in ()).throw(ValueError("boom")), "string")("url").alias("url")
+    )
+    v_before = bloom.version
+    try:
+        bloom.add_df(bad, "url")
+    except Exception:
+        pass
+    assert bloom.version == v_before
+    # and membership against the last good version still works
+    assert bloom.prefilter(old_plan_input, "url").filter(~F.col("maybe_seen")).count() == 0
