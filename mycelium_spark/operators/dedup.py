@@ -370,8 +370,11 @@ def ngram_jaccard_pairs(
     >= ceil(t*u) shared shingles, all df-hot, so for corpora where hot
     shingles are boilerplate (the web case) the miss rate is ~0 and
     bounded by P(all >= ceil(t*u) shared shingles have df > D).
-    The hot-shingle set has at most total_occurrences/D members — tiny —
-    and broadcasts into an anti-join, so pruning itself adds no shuffle.
+    The df computation RIDES the candidate join's own shuffle: the melt is
+    windowed ``count(*) OVER (PARTITION BY sh)`` — the self-join below
+    hash-partitions by ``sh`` anyway, so pruning adds no pass of its own
+    (round 2 shipped a separate groupBy + broadcast anti-join, a full
+    extra aggregation over the melted shingles that cost ~0.7 s at sf0.1).
     """
     shingle_sets = docs.select(
         F.col(id_col),
@@ -379,13 +382,12 @@ def ngram_jaccard_pairs(
     ).cache()  # reused 3x (melt + both verify sides); LRU-evicted after the action
     melted = shingle_sets.select(id_col, F.explode("ss").alias("sh"))
     if max_df is not None:
-        hot = (
-            melted.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        w = Window.partitionBy("sh")
+        melted = (
+            melted.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        melted = melted.join(F.broadcast(hot), "sh", "left_anti")
     pairs = (
         melted.alias("x")
         .join(melted.alias("y"), "sh")

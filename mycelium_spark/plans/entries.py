@@ -604,6 +604,24 @@ register(
     )
 )
 
+
+# ...and the applied form: the corpus that remains after dropping every
+# non-survivor (singletons pass through untouched).
+@register(
+    "dedup_corpus",
+    f"""
+    WITH cl AS ( {clusters.connected_components_sql(dedup.minhash_dedup_sql(16, 8, 3, 0.5))} )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE NOT keep)
+    """,
+)
+def dedup_corpus_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    cl = clusters.connected_components(
+        dedup.minhash_dedup_pairs(docs, 16, 8, 3, 0.5)
+    )
+    return clusters.dedup_corpus(docs, cl).select("doc_id")
+
 # threshold 0.3 so the result is non-trivial on the near-uniform synthetic
 # vectors (0.8 yields zero pairs at sf<=0.01; a 0-row pass proves little)
 register("embedding_neardup_lsh", dedup.embedding_neardup_lsh_sql(0.3, 6, 64))(
