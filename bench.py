@@ -309,20 +309,25 @@ def python_envelope(small: int, large: int, n: int = 24000) -> dict:
     """Control experiment: the box's raw-multiprocessing python scaling for
     the same CPU-bound kernel, OUTSIDE Spark. On SMT/oversubscribed hosts
     this is < 1.0 and bounds what any executor engine can achieve; stage
-    efficiencies should be read relative to it."""
+    efficiencies should be read relative to it. Per-leg CPU steal is
+    recorded so a co-tenant burst can taint the window (see main)."""
     import multiprocessing as mp
 
-    out = {}
+    out, steal = {}, {}
     for procs in (small, large):
         chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
+        s0 = _cpu_stat()
         t0 = time.time()
         with mp.Pool(procs) as p:
             p.map(_envelope_work, chunks)
         out[procs] = n / (time.time() - t0)
+        steal[procs] = _steal_pct(s0, _cpu_stat())
     return {
         "pages_per_sec_small": round(out[small], 1),
         "pages_per_sec_large": round(out[large], 1),
         "efficiency": round(out[large] / out[small] / (large / small), 3),
+        "steal_small_pct": steal[small],
+        "steal_large_pct": steal[large],
     }
 
 
@@ -363,11 +368,27 @@ def main() -> None:
         # item 4 — this evidence used to live only in BASELINE.md prose). ---
         small = CPUS // 4
         core_list = [CPUS] if (SKIP_SCALING or CPUS < 8) else [small, CPUS]
-        reps = 1 if len(core_list) == 1 else 3
+        # Steal-gated windows: a co-tenant CPU burst during any leg of a
+        # window invalidates that window's 8↔32 comparison (observed up to
+        # 23% steal on this box — enough to halve an efficiency ratio).
+        # The taint criterion is on the INPUT condition (recorded
+        # /proc/stat steal), declared before the result is seen — tainted
+        # windows stay in the artifact, excluded from the medians, and we
+        # keep measuring until TARGET_CLEAN clean windows exist (bounded
+        # by MAX_WINDOWS).
+        STEAL_TAINT_PCT = 5.0
+        TARGET_CLEAN, MAX_WINDOWS = 3, 5
         walls: dict[int, dict] = {c: {} for c in core_list}
-        rep_walls: list[dict] = []
         windows: list[dict] = []
-        for rep in range(reps):
+        rep = 0
+        while True:
+            if len(core_list) == 1:
+                if rep >= 1:
+                    break
+            elif rep >= MAX_WINDOWS or (
+                sum(1 for w in windows if not w["tainted"]) >= TARGET_CLEAN
+            ):
+                break
             this_rep: dict = {c: {} for c in core_list}
             for cores in core_list:
                 s = _session(cores, f"bench-{cores}-r{rep}")
@@ -381,8 +402,8 @@ def main() -> None:
                     prev = walls[cores].get(stage)
                     if prev is None or r["wall_sec"] < prev["wall_sec"]:
                         walls[cores][stage] = r
-                if rep == reps - 1 and cores == CPUS:
-                    # one-shot evidence legs in the last full-core session
+                if rep == 0 and cores == CPUS:
+                    # one-shot evidence legs in the first full-core session
                     result["dedup_variants"] = dedup_variants_job(
                         s, tmp, f"{tmp}/bloom_shards"
                     )
@@ -393,25 +414,37 @@ def main() -> None:
                         ),
                     }
                 s.stop()
-            rep_walls.append(this_rep)
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)
                 ratio = CPUS / small
-                win: dict = {"rep": rep, "envelope_efficiency": env["efficiency"]}
+                steals = [env["steal_small_pct"], env["steal_large_pct"]]
+                win: dict = {"rep": rep, "envelope_efficiency": env["efficiency"],
+                             "envelope_steal_small_pct": env["steal_small_pct"],
+                             "envelope_steal_large_pct": env["steal_large_pct"]}
                 for stage in ("schedule_dedup", "extract"):
                     w_s = this_rep[small][stage]["wall_sec"]
                     w_l = this_rep[CPUS][stage]["wall_sec"]
                     eff = round(w_s / w_l / ratio, 3)
+                    s_s = this_rep[small][stage]["cpu_steal_pct"]
+                    s_l = this_rep[CPUS][stage]["cpu_steal_pct"]
+                    steals += [s_s, s_l]
                     win[stage] = {
                         "efficiency": eff,
                         "efficiency_vs_envelope": (
                             round(eff / env["efficiency"], 3)
                             if env["efficiency"] > 0 else None
                         ),
-                        "steal_small_pct": this_rep[small][stage]["cpu_steal_pct"],
-                        "steal_large_pct": this_rep[CPUS][stage]["cpu_steal_pct"],
+                        # auxiliary: first-order steal correction
+                        # (eff_true = measured * (1-S_small)/(1-S_large))
+                        "efficiency_steal_corrected": round(
+                            eff * (1 - s_s / 100.0) / max(1 - s_l / 100.0, 1e-6), 3
+                        ),
+                        "steal_small_pct": s_s,
+                        "steal_large_pct": s_l,
                     }
+                win["tainted"] = any(x > STEAL_TAINT_PCT for x in steals)
                 windows.append(win)
+            rep += 1
 
         fj, ej = walls[CPUS]["schedule_dedup"], walls[CPUS]["extract"]
         result["frontier"] = {
@@ -426,17 +459,24 @@ def main() -> None:
         if len(core_list) == 2:
             import statistics
 
-            scaling = {"cores_small": small, "cores_large": CPUS, "windows": windows}
+            clean = [w for w in windows if not w["tainted"]] or windows
+            scaling = {
+                "cores_small": small, "cores_large": CPUS,
+                "steal_taint_pct": STEAL_TAINT_PCT,
+                "windows_total": len(windows),
+                "windows_clean": sum(1 for w in windows if not w["tainted"]),
+                "windows": windows,
+            }
             for stage, unit_rows in (
                 ("schedule_dedup", N_FRONTIER),
                 ("extract", N_PAGES),
             ):
                 thr_s = unit_rows / walls[small][stage]["wall_sec"]
                 thr_l = unit_rows / walls[CPUS][stage]["wall_sec"]
-                effs = [w[stage]["efficiency"] for w in windows]
+                effs = [w[stage]["efficiency"] for w in clean]
                 vs_env = [
                     w[stage]["efficiency_vs_envelope"]
-                    for w in windows
+                    for w in clean
                     if w[stage]["efficiency_vs_envelope"] is not None
                 ]
                 scaling[stage] = {
@@ -448,7 +488,7 @@ def main() -> None:
                     ),
                 }
             scaling["envelope_efficiency_median"] = round(
-                statistics.median(w["envelope_efficiency"] for w in windows), 3
+                statistics.median(w["envelope_efficiency"] for w in clean), 3
             )
             result["scaling"] = scaling
     finally:
