@@ -112,6 +112,34 @@ def connected_components(
     )
 
 
+def connected_components_incremental(
+    prior: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Re-resolve clusters after new near-dup pairs arrive, without
+    re-feeding the historical pair set.
+
+    ``prior`` is an earlier ``connected_components`` output: each
+    ``(doc_id, cluster_id)`` row is itself a connectivity fact (the node
+    reaches its old cluster representative), so the union of prior
+    assignments-as-edges with the new pairs has exactly the same
+    components as all-pairs-ever. Old clusters collapse to their
+    representative in one propagation round; only merges *caused by the
+    new batch* need further iterations — the steady-state cost of a
+    daily dedup increment is O(new pairs + affected clusters), not
+    O(corpus history).
+    """
+    prior_edges = prior.select(
+        F.col(out_id).alias(id_a), F.col("cluster_id").alias(id_b)
+    ).filter(F.col(id_a) != F.col(id_b))
+    combined = new_pairs.select(id_a, id_b).unionByName(prior_edges)
+    return connected_components(combined, id_a, id_b, max_iter, out_id)
+
+
 def dedup_corpus(
     docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

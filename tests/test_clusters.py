@@ -82,3 +82,36 @@ def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         # max_iter=0 exhausts the loop without reaching a fixpoint check
         clusters.connected_components(_pairs(spark, [(1, 2)]), max_iter=0)
+
+
+def test_empty_pairs_yield_empty_resolution(spark):
+    out = clusters.connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cluster_id", "keep"]
+
+
+def test_incremental_matches_full_recompute(spark):
+    prior = clusters.connected_components(_pairs(spark, [(1, 2), (3, 4), (7, 8)]))
+    # new batch: merges {1,2}+{3,4} via (2,3); brand-new pair (10,11)
+    new = _pairs(spark, [(2, 3), (10, 11)])
+    inc = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in clusters.connected_components_incremental(prior, new).collect()
+    }
+    full = _resolve(spark, [(1, 2), (3, 4), (7, 8), (2, 3), (10, 11)])
+    assert inc == full
+    assert inc[4] == (1, False)  # merged across the old cluster boundary
+    assert inc[7] == (7, True)   # untouched old cluster survives unchanged
+    assert inc[10] == (10, True)
+
+
+def test_incremental_is_idempotent_with_no_new_pairs(spark):
+    prior = clusters.connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+    again = clusters.connected_components_incremental(
+        prior, _pairs(spark, [])
+    )
+    assert {
+        (r.doc_id, r.cluster_id, r.keep) for r in again.collect()
+    } == {(r.doc_id, r.cluster_id, r.keep) for r in prior.collect()}
