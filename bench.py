@@ -229,6 +229,41 @@ def dedup_variants_job(spark, data_dir: str, shard_dir: str) -> dict:
     return out
 
 
+def cluster_job(spark, n_edges: int = 2_000_000) -> dict:
+    """Dup-cluster resolution at bench scale: synthetic star+chain graph
+    (10-node star groups; runs of 8 groups chained → 80-node components
+    with real diameter, exercising the pointer-jumping path). All-JVM
+    edge synthesis; reports edges/s through the full fixpoint."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.operators.clusters import connected_components
+
+    groups = n_edges // 9
+    g = (F.col("id") / 9).cast("long")
+    stars = spark.range(groups * 9).select(
+        (g * 10).alias("id_a"), (g * 10 + F.col("id") % 9 + 1).alias("id_b")
+    )
+    chains = spark.range(groups - 1).filter(F.col("id") % 8 != 7).select(
+        (F.col("id") * 10 + 1).alias("id_a"),
+        ((F.col("id") + 1) * 10 + 1).alias("id_b"),
+    )
+    pairs = stars.unionByName(chains)
+    t0 = time.time()
+    out = connected_components(pairs)
+    n_nodes = out.count()
+    n_clusters = out.filter("keep").count()
+    wall = time.time() - t0
+    total_edges = groups * 9 + (groups - 1) - (groups - 1) // 8
+    assert n_nodes == groups * 10, (n_nodes, groups * 10)
+    return {
+        "wall_sec": round(wall, 3),
+        "edges": int(total_edges),
+        "nodes": int(n_nodes),
+        "clusters": int(n_clusters),
+        "edges_per_sec": round(total_edges / wall, 1),
+    }
+
+
 def assign_seq_job(spark, data_dir: str, n_rows: int, legacy: bool = False) -> dict:
     """Dense-seq assignment over the frontier: the JVM plan vs the removed
     rdd.zipWithIndex implementation (kept inline here as the control)."""
@@ -413,6 +448,7 @@ def main() -> None:
                             s, tmp, max(N_FRONTIER // 10, 100_000), legacy=True
                         ),
                     }
+                    result["dup_clusters_scale"] = cluster_job(s)
                 s.stop()
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)

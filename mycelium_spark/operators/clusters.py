@@ -93,7 +93,9 @@ def connected_components(
                 "left",
             )
             .select("node", F.coalesce("_comp2", F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes it, so each
+            # iteration costs ONE Spark job, not two
+            .localCheckpoint(eager=False)
         )
         n_changed = (
             jumped.join(a.withColumnRenamed("comp", "_comp_old"), "node")
