@@ -284,7 +284,7 @@ class HtmlLexer:
             best_order = 0
             best_action = None
             best_consume = 0
-            for order, rx, action in rules[cond]:
+            for order, rx, action in _DISPATCH[cond][buf[pos]]:
                 m = rx.match(buf, pos)
                 if m is None:
                     continue
@@ -728,6 +728,126 @@ _INITIAL_LT = {
     b"?": _initial_subset({225}),
 }
 _INITIAL_LT_DEFAULT = _initial_subset({230, 252})
+
+
+# ---- first-byte dispatch for the generic conditions -----------------------
+# For every (condition, first byte) precompute the subset of rules whose
+# regex can possibly match a string starting with that byte — derived
+# STATICALLY from the compiled patterns via the sre parse tree, computed
+# conservatively (any construct the walker doesn't recognize widens to
+# all 256 bytes). Longest-match + first-rule-order semantics inside the
+# subset are identical to scanning the full rule list, because every
+# excluded rule is excluded only when it provably cannot match at all.
+def _first_bytes(pattern: bytes) -> frozenset[int]:
+    try:
+        import re._parser as sre_parse  # py3.11+
+    except ImportError:  # pragma: no cover
+        import sre_parse
+
+    ALL = frozenset(range(256))
+
+    def of_item(op, av) -> frozenset[int] | None:
+        """First-byte set of one parse item; None = matches empty."""
+        name = str(op)
+        if name == "LITERAL":
+            return frozenset((av,))
+        if name == "NOT_LITERAL":
+            return ALL - {av}
+        if name == "IN":
+            out: set[int] = set()
+            negate = False
+            for iop, iav in av:
+                iname = str(iop)
+                if iname == "NEGATE":
+                    negate = True
+                elif iname == "LITERAL":
+                    out.add(iav)
+                elif iname == "RANGE":
+                    out.update(range(iav[0], iav[1] + 1))
+                else:
+                    return ALL  # category etc. — be conservative
+            return ALL - out if negate else frozenset(out)
+        if name in ("MAX_REPEAT", "MIN_REPEAT"):
+            lo, _hi, sub = av
+            inner = of_seq(sub)
+            return inner if lo > 0 else (None if inner is None else inner | EMPTY_OK)
+        if name == "SUBPATTERN":
+            return of_seq(av[3])
+        if name == "BRANCH":
+            out = set()
+            saw_empty = False
+            for branch in av[1]:
+                b = of_seq(branch)
+                if b is None:
+                    saw_empty = True
+                else:
+                    if EMPTY_MARK in b:
+                        saw_empty = True
+                        b = b - {EMPTY_MARK}
+                    out.update(b)
+            if saw_empty:
+                return frozenset(out) | EMPTY_OK
+            return frozenset(out)
+        if name == "AT":  # anchors/lookarounds match empty
+            return None
+        if name == "ASSERT":  # lookahead: matches empty at this point
+            return None
+        return ALL  # unknown construct
+
+    # sentinel marking "this element may also match empty"
+    EMPTY_MARK = -1
+    EMPTY_OK = frozenset((EMPTY_MARK,))
+
+    def of_seq(seq) -> frozenset[int] | None:
+        acc: set[int] = set()
+        for op, av in seq:
+            item = of_item(op, av)
+            if item is None:
+                continue  # matches empty; look further
+            if EMPTY_MARK in item:
+                acc.update(item - {EMPTY_MARK})
+                continue  # optional element; next element also reachable
+            acc.update(item)
+            return frozenset(acc)
+        return (frozenset(acc) | EMPTY_OK) if acc else None
+
+    parsed = sre_parse.parse(pattern.decode("latin-1"))
+    out = of_seq(parsed)
+    if out is None or EMPTY_MARK in out:
+        # the pattern can match the EMPTY string (e.g. the CDATA
+        # trailing-context rule): a zero-length match can fire in front of
+        # any byte, so no byte may exclude this rule
+        return ALL
+    return out
+
+
+def _build_dispatch():
+    tables = {}
+    for cond, rules in _RULES.items():
+        fb = [
+            # IGNORECASE patterns: parse() here doesn't see the flag, so
+            # the analysis would be unsound — widen to all bytes
+            frozenset(range(256))
+            if r[1].flags & re.IGNORECASE
+            else _first_bytes(r[1].pattern if isinstance(r[1].pattern, bytes)
+                              else r[1].pattern.encode("latin-1"))
+            for r in rules
+        ]
+        # intern identical subsets so the 256-entry table shares tuples
+        cache: dict[tuple, tuple] = {}
+        row = []
+        for b in range(256):
+            key = tuple(i for i in range(len(rules)) if b in fb[i])
+            sub = cache.get(key)
+            if sub is None:
+                sub = tuple(rules[i] for i in key)
+                cache[key] = sub
+            row.append(sub)
+        tables[cond] = tuple(row)
+    return tables
+
+
+_DISPATCH = _build_dispatch()
 
 
 def html_lex(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:

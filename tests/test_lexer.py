@@ -241,3 +241,59 @@ def test_end_tag_trailing_tab_quirk():
     r = html_lex("<body>a</body\t><p>b</p>", "http://x.com/")
     # body close ignored → get_text stays on → 'b' still emitted
     assert r.text == b"\na\nb\n"
+
+
+def test_first_byte_dispatch_equals_full_rule_scan():
+    """The precomputed (condition, first-byte) rule subsets must be
+    behavior-identical to scanning every rule: same text, links, warnings
+    and analysis on a corpus that exercises TAG/ATTR/ATTRVAL/SCRIPT/MD/
+    COM/DS/CDATA edges (quotes, unterminated literals, stray '<' inside
+    attribute values, \\r runs, NET tags, marked sections)."""
+    import mycelium_spark.functions.lexer as L
+    from mycelium_spark.sources import synth
+
+    docs = [synth.page_html(i, 200, 2) for i in range(12)]
+    docs += [
+        b"<a href='x<y'>t</a>", b"<a href=a/b>x</a>", b"<a href=/>y</a>",
+        b"<p \r\r x=1>", b"<p/>", b"<p / >", b"<![CDATA[ab]]>x",
+        b"<b x='un", b"<a b=\r>", b"<x y z=>", b"< notag",
+        b"<a b c='d'e>", b"text ]]> more", b"<script>x<y</script>z",
+        b"<!doctype html><!-- c -->|", b"<?pi?>t", b"<a\nhref=u>v</a>",
+        b"<md ![x]>", b"\x11<t>\x11</t>", b"<a href=\"q>r\">s</a>",
+    ]
+
+    def lex_all():
+        out = []
+        for d in docs:
+            r = L.html_lex(d, b"http://h.example/")
+            out.append((r.text, tuple(r.links), r.warnings, r.analysis.title))
+        return out
+
+    full = {c: tuple(rules for _ in range(256)) for c, rules in L._RULES.items()}
+    with_dispatch = lex_all()
+    saved = L._DISPATCH
+    try:
+        L._DISPATCH = full
+        without = lex_all()
+    finally:
+        L._DISPATCH = saved
+    assert with_dispatch == without
+
+
+def test_dispatch_subsets_are_conservative():
+    """Every rule regex that matches at some position must be present in
+    the dispatch row of that position's first byte (soundness probe over
+    all rules x all 256 single bytes plus per-rule witness strings)."""
+    import mycelium_spark.functions.lexer as L
+
+    probes = [bytes([b]) for b in range(256)]
+    # multi-byte witnesses for rules whose first match needs context
+    probes += [b"/>", b"]]>", b"--  >", b"</ script >", b"<!--", b"name=",
+               b"'q'", b'"q"', b"\r\n", b"%x;"]
+    for cond, rules in L._RULES.items():
+        for probe in probes:
+            for rule in rules:
+                if rule[1].match(probe):
+                    assert rule in L._DISPATCH[cond][probe[0]], (
+                        cond, probe, rule[0],
+                    )
