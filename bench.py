@@ -319,6 +319,25 @@ def extract_job(spark, data_dir: str) -> dict:
     }
 
 
+STEAL_TAINT_PCT = 5.0
+
+
+def _one_shot(job, *args, **kw):
+    """Run a one-shot evidence leg with the same steal discipline as the
+    scaling windows: if a co-tenant burst (>5% steal) lands on the leg,
+    re-run it once; the recorded steal rides in the result."""
+    r, steal = None, 0.0
+    for attempt in range(2):
+        s0 = _cpu_stat()
+        r = job(*args, **kw)
+        steal = _steal_pct(s0, _cpu_stat())
+        if steal <= STEAL_TAINT_PCT:
+            break
+    if isinstance(r, dict):
+        r["cpu_steal_pct"] = steal
+    return r
+
+
 def _best(job, spark, data_dir, runs=2, **kw):
     results = []
     for _ in range(runs):
@@ -411,7 +430,6 @@ def main() -> None:
         # windows stay in the artifact, excluded from the medians, and we
         # keep measuring until TARGET_CLEAN clean windows exist (bounded
         # by MAX_WINDOWS).
-        STEAL_TAINT_PCT = 5.0
         TARGET_CLEAN, MAX_WINDOWS = 3, 5
         walls: dict[int, dict] = {c: {} for c in core_list}
         windows: list[dict] = []
@@ -439,16 +457,17 @@ def main() -> None:
                         walls[cores][stage] = r
                 if rep == 0 and cores == CPUS:
                     # one-shot evidence legs in the first full-core session
-                    result["dedup_variants"] = dedup_variants_job(
-                        s, tmp, f"{tmp}/bloom_shards"
+                    result["dedup_variants"] = _one_shot(
+                        dedup_variants_job, s, tmp, f"{tmp}/bloom_shards"
                     )
                     result["assign_seq"] = {
-                        "jvm": assign_seq_job(s, tmp, N_FRONTIER),
-                        "legacy_python_rdd": assign_seq_job(
-                            s, tmp, max(N_FRONTIER // 10, 100_000), legacy=True
+                        "jvm": _one_shot(assign_seq_job, s, tmp, N_FRONTIER),
+                        "legacy_python_rdd": _one_shot(
+                            assign_seq_job, s, tmp,
+                            max(N_FRONTIER // 10, 100_000), legacy=True,
                         ),
                     }
-                    result["dup_clusters_scale"] = cluster_job(s)
+                    result["dup_clusters_scale"] = _one_shot(cluster_job, s)
                 s.stop()
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)
