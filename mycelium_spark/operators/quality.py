@@ -148,3 +148,137 @@ SELECT doc_id,
     (acc, x) -> (acc * 31 + x) % {_MOD}) AS fingerprint
 FROM documents
 """
+
+
+# ------------------------------------------------ Gopher-style filter -----
+# Rule set adapted from the published Gopher data pipeline (Rae et al.
+# 2021, "Scaling Language Models", Table A1) — the standard web-text
+# keep/drop stage. Pure JVM expressions; ratios rounded to 6 dp before
+# comparison so both engines decide identically at the boundary.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep/drop per document with the first failing rule named.
+
+    Returns (doc_id, n_words, keep, fail_reason) where fail_reason is
+    NULL for kept documents. Rules are evaluated in a fixed order so the
+    reason is deterministic.
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    lines = f"split({text_col}, '\\n')"
+    stops = "array(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
+    n_words = F.expr(f"size({toks})").cast("long")
+    mean_len = F.round(
+        F.expr(f"aggregate({toks}, 0L, (s, t) -> s + length(t))") / n_words, 6
+    )
+    hashes = F.length(text_col) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    ellipses = (
+        F.length(text_col) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    symbol_ratio = F.round((hashes + ellipses) / n_words, 6)
+    bullet_frac = F.round(
+        F.expr(
+            f"size(filter({lines}, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))"
+        )
+        / F.expr(f"size({lines})"),
+        6,
+    )
+    ellipsis_line_frac = F.round(
+        F.expr(f"size(filter({lines}, l -> l LIKE '%...'))") / F.expr(f"size({lines})"), 6
+    )
+    alpha_word_frac = F.round(
+        F.expr(f"size(filter({toks}, t -> t RLIKE '[A-Za-z]'))") / n_words, 6
+    )
+    stop_hits = F.expr(f"size(filter({toks}, t -> array_contains({stops}, lower(t))))")
+    reason = (
+        F.when(n_words < min_words, "too_few_words")
+        .when(n_words > max_words, "too_many_words")
+        .when(mean_len < min_mean_word_len, "mean_word_len_low")
+        .when(mean_len > max_mean_word_len, "mean_word_len_high")
+        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(bullet_frac > max_bullet_frac, "bullet_lines")
+        .when(ellipsis_line_frac > max_ellipsis_line_frac, "ellipsis_lines")
+        .when(alpha_word_frac < min_alpha_word_frac, "non_alpha_words")
+        .when(stop_hits < min_stop_hits, "too_few_stopwords")
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    stops = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(length(x) AS BIGINT) for x in toks]), (s, x) -> s + x) AS DOUBLE)
+          / len(toks), 6) AS mean_len,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / len(toks), 6) AS symbol_ratio,
+    round(CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE)
+          / len(lines), 6) AS bullet_frac,
+    round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+          / len(lines), 6) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / len(toks), 6) AS alpha_word_frac,
+    len(list_filter(toks, x -> list_contains({stops}, lower(x)))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+  (CASE WHEN n_words < {min_words} THEN 'too_few_words'
+        WHEN n_words > {max_words} THEN 'too_many_words'
+        WHEN mean_len < {min_mean_word_len} THEN 'mean_word_len_low'
+        WHEN mean_len > {max_mean_word_len} THEN 'mean_word_len_high'
+        WHEN symbol_ratio > {max_symbol_ratio} THEN 'symbol_ratio'
+        WHEN bullet_frac > {max_bullet_frac} THEN 'bullet_lines'
+        WHEN ellipsis_line_frac > {max_ellipsis_line_frac} THEN 'ellipsis_lines'
+        WHEN alpha_word_frac < {min_alpha_word_frac} THEN 'non_alpha_words'
+        WHEN stop_hits < {min_stop_hits} THEN 'too_few_stopwords'
+   END) IS NULL AS keep,
+  CASE WHEN n_words < {min_words} THEN 'too_few_words'
+       WHEN n_words > {max_words} THEN 'too_many_words'
+       WHEN mean_len < {min_mean_word_len} THEN 'mean_word_len_low'
+       WHEN mean_len > {max_mean_word_len} THEN 'mean_word_len_high'
+       WHEN symbol_ratio > {max_symbol_ratio} THEN 'symbol_ratio'
+       WHEN bullet_frac > {max_bullet_frac} THEN 'bullet_lines'
+       WHEN ellipsis_line_frac > {max_ellipsis_line_frac} THEN 'ellipsis_lines'
+       WHEN alpha_word_frac < {min_alpha_word_frac} THEN 'non_alpha_words'
+       WHEN stop_hits < {min_stop_hits} THEN 'too_few_stopwords'
+  END AS fail_reason
+FROM m
+"""

@@ -733,6 +733,12 @@ def ivf_topk_q(spark, sf_dir):
 register("lang_id", quality.lang_id_sql())(
     lambda spark, sf_dir: quality.lang_id(_read(spark, sf_dir, "documents"))
 )
+# Gopher-rules keep/drop (Rae et al. 2021 Table A1 adaptation): min_words
+# 50 splits the synthetic corpus roughly in half, so both branches of the
+# filter are substantively checked (no all-keep/all-drop green)
+register("quality_filter", quality.gopher_rules_sql())(
+    lambda spark, sf_dir: quality.gopher_rules(_read(spark, sf_dir, "documents"))
+)
 register("quality_score", quality.quality_features_sql())(
     lambda spark, sf_dir: quality.quality_features(_read(spark, sf_dir, "documents"))
 )
