@@ -325,9 +325,11 @@ STEAL_TAINT_PCT = 5.0
 def _one_shot(job, *args, **kw):
     """Run a one-shot evidence leg with the same steal discipline as the
     scaling windows: if a co-tenant burst (>5% steal) lands on the leg,
-    re-run it once; the recorded steal rides in the result."""
+    re-run it (up to 3 attempts); the recorded steal rides in the result
+    and a leg still above the threshold is MARKED tainted — the same
+    input-condition criterion the windows use (round-3 ADVICE #2)."""
     r, steal = None, 0.0
-    for attempt in range(2):
+    for attempt in range(3):
         s0 = _cpu_stat()
         r = job(*args, **kw)
         steal = _steal_pct(s0, _cpu_stat())
@@ -335,6 +337,7 @@ def _one_shot(job, *args, **kw):
             break
     if isinstance(r, dict):
         r["cpu_steal_pct"] = steal
+        r["tainted"] = steal > STEAL_TAINT_PCT
     return r
 
 
@@ -408,6 +411,27 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.time() - t0, 3)
         result["queries"] = qtimes
+
+        # ANN build/probe split (round-3 verdict, wrong #2): the query
+        # loop's first call built the session-cached index, so its qtime
+        # is build+probe; re-probing N times gives the serving-shaped
+        # latency, with the build cost reported separately.
+        import statistics as _st
+
+        from mycelium_spark.plans.entries import ann_build_secs
+
+        probes: dict[str, dict] = {}
+        for name in ("ann_topk_indexed", "ivf_topk"):
+            if name in queries:
+                ts = []
+                for _ in range(5):
+                    t0 = time.time()
+                    queries[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    ts.append(time.time() - t0)
+                probes[name] = {"probe_ms_median": round(_st.median(ts) * 1000, 1)}
+        result["ann"] = {"build_sec": ann_build_secs(), "probe": probes}
         spark.stop()
 
         # --- measurement legs: fresh session per (rep, cores). Core counts
@@ -554,13 +578,35 @@ def main() -> None:
         % (N_FRONTIER, N_PAGES, len(result.get("queries", {})), SF)
     )
     result["value"] = round(time.time() - t_total, 3)
-    # Artifact of record: durable file (the driver's stdout tail capture
-    # truncated BENCH_r02.json) + ONE compact line as the very last stdout.
+    # Artifact of record: the FULL object goes to BENCH.json (durable,
+    # committed). The driver's stdout tail window is ~2 KB (it truncated
+    # the full line in r2 AND r3 → "parsed": null), so the very last
+    # stdout line is a SMALL summary — contract fields + headline numbers
+    # + a pointer to the full artifact — guaranteed to fit the tail.
     line = json.dumps(result, separators=(",", ":"))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         f.write(line + "\n")
+    compact = {
+        k: result[k] for k in ("metric", "value", "unit", "sf", "queries") if k in result
+    }
+    headline = {
+        "urls_per_sec": result.get("frontier", {}).get("urls_per_sec"),
+        "pages_per_sec": result.get("extract", {}).get("pages_per_sec"),
+    }
+    sc = result.get("scaling")
+    if sc:
+        headline["scaling"] = {
+            st: {
+                "eff_median": sc[st]["efficiency_median"],
+                "vs_envelope_median": sc[st]["efficiency_vs_envelope_median"],
+            }
+            for st in ("schedule_dedup", "extract")
+        }
+        headline["windows_clean"] = f'{sc["windows_clean"]}/{sc["windows_total"]}'
+    compact["headline"] = headline
+    compact["full_artifact"] = "BENCH.json"
     sys.stdout.flush()
-    print(line)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -18,13 +18,23 @@ every PDF to 415. This module implements the common subset natively:
   bfrange (both continuous-<dst> and array forms) are parsed, the
   content stream's Tf operator tracks the active font, and CID codes in
   hex or literal strings decode through the font's CMap — the modern
-  pdftotext-meets-it-daily case (round-2 verdict, missing #5).
+  pdftotext-meets-it-daily case (round-2 verdict, missing #5). The
+  active-font state THREADS ACROSS content streams (the PDF spec
+  concatenates a page's streams, so a Tf in one persists into the next);
+* /LZWDecode streams (the TIFF-variant LZW with 9→12-bit codes, clear
+  code 256, EOD 257, EarlyChange 1 — the published algorithm, PDF spec
+  §7.4.4);
+* Type0 WITHOUT ToUnicode: raw CIDFont glyph indices are not text — text
+  shown under such a font is dropped, and a document with no other
+  extractable text returns None → the caller's 415, the same convention
+  the reference hits when pdftotext emits nothing usable
+  (local_indexer.cc:127).
 
 NOT covered (returns None → caller 415s, the reference's own failure
-path): encrypted files, Type0 WITHOUT ToUnicode (raw CIDFont glyph
-indices are not text), predefined CMap names (no CMap files ship here),
-LZW/DCT/CCITT filters, object streams (/ObjStm). For the text-PDF corpus
-a local indexer actually meets, the common subset extracts.
+path): encrypted files, predefined CMap names (no CMap files ship
+here), DCT/CCITT/JBIG2 filters (image codecs — no text lives there),
+object streams (/ObjStm). For the text-PDF corpus a local indexer
+actually meets, the common subset extracts.
 """
 
 from __future__ import annotations
@@ -57,6 +67,60 @@ _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
 }
+
+
+# Type0 font bound in resources but carrying no /ToUnicode: glyph ids,
+# not text — distinct from "no font tracked" (simple fonts keep the
+# raw-bytes path)
+UNDECODABLE = ("undecodable",)
+
+
+def lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (spec §7.4.4): TIFF-style LZW, 9-bit codes growing
+    to 12, clear=256, EOD=257, EarlyChange default 1. None on a corrupt
+    stream."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def _reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    _reset()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                _reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)  # tolerant: EOD-less streams end at data end
 
 
 def _unescape_literal(raw: bytes) -> bytes:
@@ -151,6 +215,9 @@ def _font_cmaps(raw: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
     for num, body in objects.items():
         if b"/Font" not in body or b"/Type0" not in body:
             continue
+        # Type0 whose ToUnicode is missing or unusable → UNDECODABLE:
+        # showing text under it yields glyph ids, not characters
+        cmap_of_font_obj[num] = UNDECODABLE
         mt = _TOUNICODE_RE.search(body)
         if mt is None:
             continue
@@ -190,15 +257,22 @@ def _decode_cids(bs: bytes, width: int, mapping: dict[int, str]) -> str:
 
 
 def _stream_text(
-    content: bytes, fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None
+    content: bytes,
+    fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+    state: dict | None = None,
 ) -> list[bytes | str]:
     """Text chunks from one decompressed content stream, in order.
 
     bytes chunks = simple-font text (decoded at assembly); str chunks =
     Type0 text already mapped through the active font's ToUnicode CMap.
-    The Tf operator switches the active font."""
+    The Tf operator switches the active font. ``state`` (mutated in
+    place) threads the active font across successive calls — the PDF
+    spec concatenates a page's content streams, so a Tf issued in one
+    stream persists into the next; it also records whether any text was
+    dropped under an UNDECODABLE font."""
     chunks: list[bytes | str] = []
-    cmap: tuple[int, dict[int, str]] | None = None
+    if state is None:
+        state = {"cmap": None, "lost": False}
 
     def _nl():
         if chunks and not (
@@ -209,14 +283,20 @@ def _stream_text(
             chunks.append(b"\n")
 
     def _show(raw_bytes: bytes):
-        if cmap is not None:
+        cmap = state["cmap"]
+        if cmap is UNDECODABLE:
+            state["lost"] = True
+        elif cmap is not None:
             chunks.append(_decode_cids(raw_bytes, cmap[0], cmap[1]))
         else:
             chunks.append(raw_bytes)
 
     def _show_hex(h: bytes):
         b = _decode_hex(h)
-        if cmap is not None:
+        cmap = state["cmap"]
+        if cmap is UNDECODABLE:
+            state["lost"] = True
+        elif cmap is not None:
             chunks.append(_decode_cids(b, cmap[0], cmap[1]))
         # heuristic without a CMap: 2-byte CID codes are not decodable —
         # only keep byte-encoded-looking text
@@ -227,7 +307,7 @@ def _stream_text(
         if m.group("brk") is not None:
             _nl()
         elif m.group("font") is not None:
-            cmap = (fonts or {}).get(m.group("font"))
+            state["cmap"] = (fonts or {}).get(m.group("font"))
         elif m.group("lit") is not None:
             _show(_unescape_literal(m.group("lit")))
         elif m.group("hex") is not None:
@@ -251,6 +331,7 @@ def pdf_extract_text(raw: bytes) -> str | None:
         return None
     fonts = _font_cmaps(raw)
     chunks: list[bytes | str] = []
+    font_state = {"cmap": None, "lost": False}  # threads across streams
     pos = 0
     while True:
         m = _STREAM_RE.search(raw, pos)
@@ -272,13 +353,18 @@ def pdf_extract_text(raw: bytes) -> str | None:
                 data = zlib.decompress(data)
             except zlib.error:
                 continue
+        elif b"/LZWDecode" in sdict:
+            decoded = lzw_decode(data)
+            if decoded is None:
+                continue
+            data = decoded
         elif b"/Filter" in sdict:
-            continue  # LZW/DCT/... unsupported
+            continue  # DCT/CCITT/... unsupported (image codecs)
         if b"/Image" in sdict or b"/XObject" in sdict and b"BT" not in data:
             continue
         if b"begincmap" in data:
             continue  # ToUnicode CMap streams are metadata, not page text
-        chunks.extend(_stream_text(data, fonts))
+        chunks.extend(_stream_text(data, fonts, font_state))
     has_text = any(
         (c != b"\n") if isinstance(c, bytes) else bool(c) for c in chunks
     )

@@ -522,6 +522,68 @@ FROM islands GROUP BY doc_id, island
 """
 
 
+# ------------------------------------------------- span removal -----------
+def remove_repeated_spans(
+    docs: DataFrame, k: int = 5, min_df: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022): splice
+    the tokens covered by ``repeated_spans``' [start, end) islands out of
+    each document → (doc_id, clean_text).
+
+    Token positions index the same raw ``split(text, ' ')`` array the
+    span detector positions are defined over, so splicing is exact;
+    documents without spans pass through byte-identical (split + ' '
+    rejoin is the identity on space-tokenized text), fully-covered
+    documents become ''.
+
+    Scale notes: the spans side is tiny relative to the corpus (islands,
+    not shingles) — collect_list per doc is bounded by doc length; the
+    splice itself is a per-row JVM array expression, no explode of the
+    corpus tokens and no second shuffle of document bodies (they move
+    once, on the doc_id join).
+    """
+    spans = repeated_spans(docs, k, min_df, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = f"split({text_col}, ' ')"
+    kept = (
+        f"filter(transform({toks}, (t, i) -> named_struct('t', t, 'i', i)), "
+        f"s -> NOT exists(_spans, sp -> s.i >= sp.span_start AND s.i < sp.span_end))"
+    )
+    clean = f"concat_ws(' ', transform({kept}, s -> s.t))"
+    return joined.select(
+        id_col,
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.expr(clean))
+        .alias("clean_text"),
+    )
+
+
+def remove_repeated_spans_sql(k: int = 5, min_df: int = 2) -> str:
+    toks = "string_split(text, ' ')"
+    return f"""
+WITH spans AS ({repeated_spans_sql(k, min_df)}),
+toks AS (
+  SELECT doc_id, unnest({toks}) AS tok,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.pos >= s.span_start AND t.pos < s.span_end)
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # ------------------------------------------- embedding cosine near-dup ----
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.99, block_col: str = "label",

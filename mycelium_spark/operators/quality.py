@@ -282,3 +282,190 @@ SELECT doc_id, n_words,
   END AS fail_reason
 FROM m
 """
+
+
+# ------------------------------------------ Gopher repetition rules -------
+# The repetition half of Rae et al. 2021 Table A1 (the quality half is
+# gopher_rules above): documents dominated by duplicated lines/paragraphs
+# or by one hot n-gram are boilerplate. Conventions (mirrored exactly in
+# the SQL twin):
+# * duplicate fraction counts ALL-BUT-FIRST occurrences
+#   (n_items - n_distinct) / n_items — the published replications'
+#   convention;
+# * duplicate CHARACTER fraction is the same all-but-first convention over
+#   item character mass: (sum(len) - sum(len over distinct)) / sum(len);
+# * top-n-gram character fraction is max over n-grams of
+#   count * charlen(ngram) / charlen(text) — "the n-gram covering the
+#   most characters", a deterministic tie-free form of the paper's
+#   most-frequent-n-gram coverage;
+# * documents with fewer than n tokens have top-n-gram fraction 0.
+_REP_NS = (2, 3, 4)
+
+
+def _dup_frac_cols(arr: str) -> tuple:
+    """(dup_frac, dup_char_frac) Columns for an array-of-strings expr."""
+    n = F.expr(f"size({arr})")
+    nd = F.expr(f"size(array_distinct({arr}))")
+    ca = F.expr(f"aggregate({arr}, 0L, (s, x) -> s + length(x))")
+    cd = F.expr(f"aggregate(array_distinct({arr}), 0L, (s, x) -> s + length(x))")
+    dup = F.round((n - nd) / n, 6)
+    chars = F.when(ca > 0, F.round((ca - cd) / ca, 6)).otherwise(F.lit(0.0))
+    return dup, chars
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics → (doc_id, dup_line_frac,
+    dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+    top{2,3,4}gram_char_frac), all 6-dp rounded.
+
+    Plan shape: the line/paragraph metrics are pure per-row array
+    expressions (no shuffle); each top-n-gram metric is one explode →
+    per-(doc, gram) count with map-side combine → per-doc max — shuffle
+    keyed by (doc_id, gram), bounded by document length, never all-pairs.
+    """
+    lines = f"split({text_col}, '\\n')"
+    paras = f"split({text_col}, '\\n\\n')"
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    line_dup, line_chars = _dup_frac_cols(lines)
+    para_dup, para_chars = _dup_frac_cols(paras)
+    base = docs.select(
+        id_col,
+        line_dup.alias("dup_line_frac"),
+        line_chars.alias("dup_line_char_frac"),
+        para_dup.alias("dup_para_frac"),
+        para_chars.alias("dup_para_char_frac"),
+    )
+    out = base
+    for n in _REP_NS:
+        ng_arr = (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END"
+        )
+        ng = docs.select(
+            F.col(id_col),
+            F.length(text_col).alias("_tot"),
+            F.explode(F.expr(ng_arr)).alias("g"),
+        )
+        top = (
+            ng.groupBy(id_col, "_tot", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col, "_tot")
+            .agg(F.max(F.col("c") * F.length("g")).alias("_cov"))
+            .select(
+                id_col,
+                F.round(F.col("_cov") / F.col("_tot"), 6).alias(
+                    f"top{n}gram_char_frac"
+                ),
+            )
+        )
+        out = out.join(top, id_col, "left")
+    for n in _REP_NS:
+        c = f"top{n}gram_char_frac"
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out
+
+
+def _rep_sql_chars(arr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(length(x) AS BIGINT) for x in {arr}]), (s, x) -> s + x)"
+    )
+
+
+def repetition_features_sql(source: str = "documents") -> str:
+    """DuckDB twin of repetition_features over ``source`` (any relation
+    with doc_id, text)."""
+    ng_tops = []
+    joins = []
+    for n in _REP_NS:
+        ng = (
+            f"[array_to_string(toks[i+1:i+{n}], ' ') "
+            f"for i in range(0, greatest(len(toks) - {n} + 1, 0))]"
+        )
+        ng_tops.append(
+            f"""ng{n} AS (
+  SELECT doc_id, length(text) AS tot, unnest({ng}) AS g FROM t
+), top{n} AS (
+  SELECT doc_id, round(CAST(max(c * length(g)) AS DOUBLE) / tot, 6) AS f
+  FROM (SELECT doc_id, tot, g, count(*) AS c FROM ng{n} GROUP BY doc_id, tot, g)
+  GROUP BY doc_id, tot
+)"""
+        )
+        joins.append(f"LEFT JOIN top{n} ON base.doc_id = top{n}.doc_id")
+
+    def dup(arr):
+        chars = _rep_sql_chars(arr)
+        chars_d = _rep_sql_chars(f"list_distinct({arr})")
+        return (
+            f"round(CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE) / len({arr}), 6)",
+            f"CASE WHEN {chars} > 0 THEN round(CAST({chars} - {chars_d} AS DOUBLE) / {chars}, 6) ELSE 0.0 END",
+        )
+
+    ld, lc = dup("lines")
+    pd_, pc = dup("paras")
+    tops = ",\n".join(ng_tops)
+    sel_tops = ", ".join(
+        f"coalesce(top{n}.f, 0.0) AS top{n}gram_char_frac" for n in _REP_NS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM {source}
+), base AS (
+  SELECT doc_id,
+         {ld} AS dup_line_frac,
+         {lc} AS dup_line_char_frac,
+         {pd_} AS dup_para_frac,
+         {pc} AS dup_para_char_frac
+  FROM t
+),
+{tops}
+SELECT base.doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+       dup_para_char_frac, {sel_tops}
+FROM base {' '.join(joins)}
+"""
+
+
+# Table A1 thresholds (Rae et al. 2021)
+_REP_THRESHOLDS = (
+    ("dup_line_frac", 0.30, "dup_lines"),
+    ("dup_para_frac", 0.30, "dup_paras"),
+    ("dup_line_char_frac", 0.20, "dup_line_chars"),
+    ("dup_para_char_frac", 0.20, "dup_para_chars"),
+    ("top2gram_char_frac", 0.20, "top_2gram"),
+    ("top3gram_char_frac", 0.18, "top_3gram"),
+    ("top4gram_char_frac", 0.16, "top_4gram"),
+)
+
+
+def repetition_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep/drop on the Table A1 repetition thresholds, first failing rule
+    named — the companion of gopher_rules (quality half)."""
+    feats = repetition_features(docs, text_col, id_col)
+    reason = None
+    for col, thr, name in _REP_THRESHOLDS:
+        cond = F.when(F.col(col) > thr, F.lit(name))
+        reason = cond if reason is None else reason.when(F.col(col) > thr, F.lit(name))
+    return feats.select(
+        id_col, reason.isNull().alias("keep"), reason.alias("fail_reason")
+    )
+
+
+def repetition_filter_sql(source: str = "documents") -> str:
+    case = "CASE " + " ".join(
+        f"WHEN {col} > {thr} THEN '{name}'" for col, thr, name in _REP_THRESHOLDS
+    ) + " END"
+    return f"""
+WITH feats AS ({repetition_features_sql(source)})
+SELECT doc_id, ({case}) IS NULL AS keep, {case} AS fail_reason
+FROM feats
+"""

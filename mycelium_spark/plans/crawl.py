@@ -46,6 +46,7 @@ from pyspark.sql.types import BooleanType
 from ..functions.robots import Robots, RobotsState, robots_state_for
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series, url_parts_frame, URL_PARTS_TYPE
 from ..operators.frontier import assign_seq, politeness_schedule, with_worker_bucket
+from ..operators.redirects import redirect_edges, resolve_redirect_chains
 from ..operators.seen import BloomSeen, new_urls
 from ..sources.catalog import Catalog
 
@@ -114,6 +115,19 @@ class CrawlEngine:
         self.spark = spark
         self.cat = Catalog(spark, workdir)
         self.pages = pages
+        # Redirect support (crawler.cc:52,862-868,1094-1096): active iff the
+        # pages table carries a ``redirect_to`` column (the Location header
+        # of 3xx rows). Redirect rows are edges, not content — the content
+        # join sees only non-redirecting rows.
+        self.has_redirects = "redirect_to" in pages.columns
+        if self.has_redirects:
+            self.redirects = redirect_edges(pages)
+            self.content_pages = pages.filter(
+                F.col("redirect_to").isNull()
+            ).drop("redirect_to")
+        else:
+            self.redirects = None
+            self.content_pages = pages
         self.user_agent = user_agent
         self.per_host_budget = per_host_budget
         self.n_buckets = n_buckets
@@ -376,7 +390,27 @@ class CrawlEngine:
         # 3. "fetch": join against pages on normalized url; HEAD folds into
         # column pruning; politeness affinity + hot-host salting
         allowed = with_worker_bucket(allowed, self.n_buckets)
-        fetched = allowed.join(self.pages, "url", "left")
+        # 3a. redirect-chain resolution (crawler.cc:52,1094-1096): the
+        # content lives at the chain's effective URL; cap/protocol
+        # failures become curl-code stubs like every other fetch failure
+        if self.has_redirects:
+            # cached: the resolution plan (≤6 joins) feeds the content
+            # join, the failure stubs, the seen extras and the frontier
+            # anti-join — materialize it once
+            resolved = resolve_redirect_chains(allowed, self.redirects).cache()
+            redirect_failed = resolved.filter(F.col("redirect_code") != 0)
+            allowed = resolved.filter(F.col("redirect_code") == 0).drop(
+                "redirect_code", "hops"
+            )
+        else:
+            resolved = None
+            redirect_failed = None
+            allowed = allowed.withColumn("eff_url", F.col("url"))
+        fetched = allowed.join(
+            self.content_pages.withColumnRenamed("url", "_page_url"),
+            allowed["eff_url"] == F.col("_page_url"),
+            "left",
+        ).drop("_page_url")
 
         extract_udf = F.pandas_udf(extract_frame, EXTRACT_TYPE)
         fetched = fetched.withColumn("html_len", F.octet_length("html"))
@@ -388,10 +422,19 @@ class CrawlEngine:
             F.col("html").isNotNull() & (F.col("html_len") > CONTENT_SIZE_LIMIT)
         )
 
-        # 4. extract (the §2.3 kernel over Arrow batches)
-        extracted = ok.withColumn("ex", extract_udf("html", "url")).cache()
+        # 4. extract (the §2.3 kernel over Arrow batches). Relative links
+        # resolve against the EFFECTIVE URL — that is where the bytes came
+        # from. (The reference stores eff_url in the Doc, Doc.cc:29-30,
+        # but never feeds it back into indexing; its frontier is
+        # ingest-fed, so link-base choice has no analog there.)
+        extracted = ok.withColumn("ex", extract_udf("html", "eff_url")).cache()
+        # eff_url is stamped only when it differs (crawler.cc:867-868)
+        eff_stamp = F.when(
+            F.col("eff_url") != F.col("url"), F.col("eff_url")
+        ).alias("eff_url")
         docs = extracted.select(
             "url",
+            eff_stamp,
             F.lit(r).alias("round"),
             F.lit(200).alias("http_code"),
             F.lit(0).alias("curl_code"),
@@ -415,15 +458,27 @@ class CrawlEngine:
         ]
         stubs = (
             missing.select(
-                "url", F.lit(r).alias("round"), F.lit(0).alias("http_code"),
+                "url", eff_stamp, F.lit(r).alias("round"), F.lit(0).alias("http_code"),
                 F.lit(6).alias("curl_code"),  # CURLE_COULDNT_RESOLVE_HOST
             ).unionByName(
                 toobig.select(
-                    "url", F.lit(r).alias("round"), F.lit(200).alias("http_code"),
+                    "url", eff_stamp, F.lit(r).alias("round"), F.lit(200).alias("http_code"),
                     F.lit(42).alias("curl_code"),  # CURLE_ABORTED_BY_CALLBACK
                 )
             )
         )
+        if redirect_failed is not None:
+            # chain cap / bad redirect protocol: curl fails the transfer
+            # (47 / 1); http_code 0 — the engine's failure-stub convention
+            # (the reference would carry the last 3xx seen, a per-hop
+            # status our pages model does not record)
+            stubs = stubs.unionByName(
+                redirect_failed.select(
+                    "url", eff_stamp, F.lit(r).alias("round"),
+                    F.lit(0).alias("http_code"),
+                    F.col("redirect_code").alias("curl_code"),
+                )
+            )
         for c in stub_cols:
             stubs = stubs.withColumn(c, F.lit(None).cast(dict(docs.dtypes)[c]))
         docs = docs.unionByName(stubs.select(*docs.columns))
@@ -451,6 +506,16 @@ class CrawlEngine:
         # anti-join against the WHOLE current frontier (scheduled + deferred):
         # a link may point at a URL still queued behind the politeness budget
         cand = cand.join(frontier.select("url"), "url", "left_anti")
+        if self.has_redirects:
+            # a link to this round's redirect TARGET is already crawled —
+            # its content just landed under the requesting doc's eff_url
+            cand = cand.join(
+                allowed.filter(F.col("eff_url") != F.col("url")).select(
+                    F.col("eff_url").alias("url")
+                ),
+                "url",
+                "left_anti",
+            )
         fresh = new_urls(cand, seen, self.bloom, "url")
         parts_udf = F.pandas_udf(url_parts_frame, URL_PARTS_TYPE)
         fresh = fresh.withColumn("host", parts_udf("url").getField("host"))
@@ -479,6 +544,22 @@ class CrawlEngine:
         n_docs = docs.count()
         n_links = links.count()
         new_seen = scheduled.select("url")
+        if self.has_redirects:
+            # BOTH ends of a followed chain enter the seen set: the
+            # requested URL and the effective URL (a redirect target
+            # already crawled must not be refetched when linked directly).
+            # Deduped against this round's scheduled set and the committed
+            # seen table (same Bloom-prefilter + exact-anti path as link
+            # candidates) so seen stays duplicate-free.
+            extras = (
+                allowed.filter(F.col("eff_url") != F.col("url"))
+                .select(F.col("eff_url").alias("url"))
+                .distinct()
+                .join(scheduled.select("url"), "url", "left_anti")
+            )
+            new_seen = new_seen.unionByName(
+                new_urls(extras, seen, self.bloom, "url")
+            )
         if self.bloom is not None:
             self.bloom.add_df(new_seen, "url")
             # quiescent point for version GC: every plan built against an
@@ -497,6 +578,8 @@ class CrawlEngine:
         )
         frontier.unpersist()
         scheduled.unpersist()
+        if resolved is not None:
+            resolved.unpersist()
         extracted.unpersist()
         links.unpersist()
         next_frontier.unpersist()

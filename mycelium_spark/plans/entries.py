@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
-from ..operators import clusters, dedup, index, quality, similarity
+from ..operators import clusters, dedup, index, quality, redirects, similarity
 from ..functions.robots import parse_robots
 
 
@@ -54,17 +54,33 @@ def register(name: str, oracle):
 def resolved_oracles() -> dict[str, str]:
     """Resolve lazy (callable) oracles; a VALUES oracle whose input parquet
     is missing degrades that ONE entry to a rows-only check (omit it)
-    instead of failing resolution for every query."""
+    instead of failing resolution for every query — but LOUDLY: the
+    degraded names go to stderr and to SKIPPED_ORACLES, so a typo'd
+    SPARK_GRAFT_ORACLE_SF_DIR can't silently drop oracle coverage
+    (round-3 ADVICE #5)."""
+    import sys
+
     out: dict[str, str] = {}
+    SKIPPED_ORACLES.clear()
     for k, v in ORACLES.items():
         if callable(v):
             try:
                 out[k] = v()
-            except (FileNotFoundError, OSError):
+            except (FileNotFoundError, OSError) as e:
+                SKIPPED_ORACLES[k] = repr(e)
+                print(
+                    f"WARNING: oracle for {k!r} degraded to rows-only "
+                    f"({e!r}; check SPARK_GRAFT_ORACLE_SF_DIR)",
+                    file=sys.stderr,
+                )
                 continue
         else:
             out[k] = v
     return out
+
+
+# entry name → error repr for every oracle resolved_oracles() had to skip
+SKIPPED_ORACLES: dict[str, str] = {}
 
 
 # ====================================================================
@@ -356,6 +372,57 @@ def merge_ref_q(spark, sf_dir):
     return pairs.select("doc_id", merge_udf("base", "ref").alias("merged"))
 
 
+# Redirect-chain resolution (crawler.cc:52,862-868): the PRODUCTION
+# resolver (bounded iterative join, operators/redirects.py — the same
+# function CrawlEngine.run_round calls) over deterministic edges derived
+# from doc_ids: every doc_id ≡ 0 (mod 101) is a self-loop (over-cap → 47),
+# every other doc_id with doc_id % 13 < 5 redirects to doc_id + 1 (chains
+# of 1..5 hops, including exactly-at-cap chains; a chain landing on a
+# looping node exceeds the cap). Oracle = DuckDB recursive CTE — an
+# independent closure computation, not an iterative join.
+_R_URL = (
+    "'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.example/p' || "
+    "CAST(doc_id AS VARCHAR)"
+)
+_R_DST_ID = "CASE WHEN doc_id % 101 = 0 THEN doc_id ELSE doc_id + 1 END"
+_R_DST_URL = (
+    f"'http://h' || CAST(({_R_DST_ID}) % 10 AS VARCHAR) || '.example/p' || "
+    f"CAST({_R_DST_ID} AS VARCHAR)"
+)
+
+
+@register(
+    "redirect_resolve",
+    redirects.resolve_redirects_sql(
+        f"SELECT doc_id, {_R_URL} AS url FROM documents",
+        f"SELECT {_R_URL} AS r_src, {_R_DST_URL} AS r_dst FROM documents "
+        "WHERE doc_id % 101 = 0 OR doc_id % 13 < 5",
+    ),
+)
+def redirect_resolve_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def _url(idc):
+        return F.concat(
+            F.lit("http://h"), (idc % 10).cast("string"),
+            F.lit(".example/p"), idc.cast("string"),
+        )
+
+    urls = docs.select("doc_id", _url(F.col("doc_id")).alias("url"))
+    dst_id = F.when(F.col("doc_id") % 101 == 0, F.col("doc_id")).otherwise(
+        F.col("doc_id") + 1
+    )
+    edges = docs.filter(
+        (F.col("doc_id") % 101 == 0) | (F.col("doc_id") % 13 < 5)
+    ).select(_url(F.col("doc_id")).alias("r_src"), _url(dst_id).alias("r_dst"))
+    out = redirects.resolve_redirect_chains(urls, edges)
+    return out.select(
+        "doc_id", "eff_url",
+        F.col("hops").cast("int").alias("hops"),
+        F.col("redirect_code").cast("int").alias("redirect_code"),
+    )
+
+
 # ====================================================================
 # Relational coverage (Catalyst does the work; plans stay broadcast/pruned)
 # ====================================================================
@@ -591,6 +658,16 @@ register("repeated_spans", dedup.repeated_spans_sql(5, 2))(
     lambda spark, sf_dir: dedup.repeated_spans(_read(spark, sf_dir, "documents"), 5, 2)
 )
 
+# ...and the APPLY step: the corpus with those spans spliced out (the
+# oracle recomputes the cleaned text independently via explode + NOT
+# EXISTS + ordered string_agg — a different algorithm than the engine's
+# per-row array splice)
+register("span_removal", dedup.remove_repeated_spans_sql(5, 2))(
+    lambda spark, sf_dir: dedup.remove_repeated_spans(
+        _read(spark, sf_dir, "documents"), 5, 2
+    )
+)
+
 # pair→cluster→survivor resolution over the verified MinHash pairs: the
 # step that turns duplicate DETECTION into an actual deduped corpus.
 # Oracle = DuckDB recursive-CTE reachability over the same pairs (an
@@ -641,16 +718,61 @@ register("ann_topk_lsh", similarity.ann_topk_sql(_Q64, 10, 4, 1))(
 )
 
 
+# Index builds are cached per (kind, sf_dir) under ONE managed temp root
+# (removed atexit): an ANN index is built once and probed many times —
+# timing a fresh build inside every probe call hid the serving-shaped
+# latency and leaked temp dirs (round-3 verdict, wrong #2). bench.py
+# times the build via build_ann_indexes() and the probe via the query.
+_ANN_ROOT: str | None = None
+_ANN_BUILT: dict[tuple[str, str], tuple[str, float]] = {}
+
+
+def _ann_root() -> str:
+    global _ANN_ROOT
+    if _ANN_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _ANN_ROOT = tempfile.mkdtemp(prefix="mycelium_ann_")
+        atexit.register(shutil.rmtree, _ANN_ROOT, ignore_errors=True)
+    return _ANN_ROOT
+
+
+def _index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import time
+
+    key = (kind, sf_dir)
+    if key not in _ANN_BUILT:
+        path = f"{_ann_root()}/{kind}_{len(_ANN_BUILT)}/index"
+        t0 = time.time()
+        if kind == "lsh":
+            similarity.build_ann_index(
+                _read(spark, sf_dir, "embeddings"), path, n_planes=6
+            )
+        else:
+            from ..operators import ivf
+
+            ivf.build_ivf_index(
+                _read(spark, sf_dir, "embeddings").orderBy("vec_id"), path,
+                n_centroids=8, sample_rows=20_000,
+            )
+        _ANN_BUILT[key] = (path, round(time.time() - t0, 3))
+    return _ANN_BUILT[key][0]
+
+
+def ann_build_secs() -> dict[str, float]:
+    """kind → build wall-sec for every index built this session."""
+    return {k[0]: v[1] for k, v in _ANN_BUILT.items()}
+
+
 @register("ann_topk_indexed", similarity.ann_topk_sql(_Q64, 10, 6, 1))
 def ann_topk_indexed_q(spark, sf_dir):
-    """The at-scale ANN path: bucket-partitioned index write + partition-
-    pruned probe. Identical output to the in-plan LSH filter with the same
-    hyperplanes, so the in-plan oracle SQL is exact for it too."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="ann_idx_") + "/index"
-    emb = _read(spark, sf_dir, "embeddings")
-    similarity.build_ann_index(emb, path, n_planes=6)
+    """The at-scale ANN path: bucket-partitioned index (built once per
+    session) + partition-pruned probe. Identical output to the in-plan
+    LSH filter with the same hyperplanes, so the in-plan oracle SQL is
+    exact for it too."""
+    path = _index_path(spark, sf_dir, "lsh")
     return similarity.ann_topk_indexed(spark, path, _Q64, 10, n_planes=6, multiprobe=1)
 
 def _ivf_topk_oracle(sf_dir: str | None = None) -> str:
@@ -716,17 +838,13 @@ def _ivf_topk_oracle(sf_dir: str | None = None) -> str:
 
 @register("ivf_topk", _ivf_topk_oracle)
 def ivf_topk_q(spark, sf_dir):
-    """IVF ANN end-to-end: deterministic k-means train, list-partitioned
-    index write, partition-pruned nprobe probe (operators/ivf.py). The
-    train sample is the vec_id-sorted prefix so the oracle's recompute
-    sees the identical sample."""
-    import tempfile
-
+    """IVF ANN: deterministic k-means train + list-partitioned index
+    (built once per session), partition-pruned nprobe probe
+    (operators/ivf.py). The train sample is the vec_id-sorted prefix so
+    the oracle's recompute sees the identical sample."""
     from ..operators import ivf
 
-    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
-    emb = _read(spark, sf_dir, "embeddings").orderBy("vec_id")
-    ivf.build_ivf_index(emb, path, n_centroids=8, sample_rows=20_000)
+    path = _index_path(spark, sf_dir, "ivf")
     return ivf.ivf_topk(spark, path, _Q64, k=10, nprobe=2)
 
 
@@ -739,6 +857,33 @@ register("lang_id", quality.lang_id_sql())(
 register("quality_filter", quality.gopher_rules_sql())(
     lambda spark, sf_dir: quality.gopher_rules(_read(spark, sf_dir, "documents"))
 )
+# Gopher repetition half (Rae et al. Table A1): the driver's documents
+# have no line structure, so line/para/n-gram repetition is synthesized
+# from text slices by an engine-identical SQL fragment — dup-line docs,
+# dup-para docs whose lines stay mostly distinct, hot-n-gram docs, and
+# clean docs, so every rule branch is substantively exercised.
+_REP_CONSTRUCT = """CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 30) || chr(10) || substr(text, 61, 30)
+    WHEN 1 THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 30) || chr(10) || substr(text, 1, 30) || chr(10) || substr(text, 1, 30)
+    WHEN 2 THEN substr(text, 1, 10) || chr(10) || chr(10) || substr(text, 11, 25) || chr(10) || substr(text, 36, 25) || chr(10) || substr(text, 61, 25) || chr(10) || substr(text, 86, 25) || chr(10) || substr(text, 111, 25) || chr(10) || substr(text, 136, 25) || chr(10) || chr(10) || substr(text, 1, 10)
+    WHEN 3 THEN substr(text, 1, 30) || repeat(' foo bar', 12)
+    ELSE text
+  END"""
+
+
+@register(
+    "repetition_filter",
+    quality.repetition_filter_sql(
+        f"(SELECT doc_id, {_REP_CONSTRUCT} AS text FROM documents)"
+    ),
+)
+def repetition_filter_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_REP_CONSTRUCT} AS text"
+    )
+    return quality.repetition_filter(docs)
+
+
 register("quality_score", quality.quality_features_sql())(
     lambda spark, sf_dir: quality.quality_features(_read(spark, sf_dir, "documents"))
 )

@@ -122,24 +122,59 @@ def page_html(page_id: int, n_pages: int, extra_paras: int = 0) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
-def page_row(page_id: int, n_pages: int, extra_paras: int = 0) -> dict:
+def is_redirect(page_id: int, with_redirects: bool) -> bool:
+    """Redirect rows (~1/19 of the corpus, the rough share of 3xx finals
+    in real crawls). Chains arise naturally: the target is itself a
+    redirect with probability ~1/19, giving geometric chain lengths —
+    occasionally exceeding MAXREDIRS, which exercises the 47-stub path."""
+    return with_redirects and page_id % 19 == 7
+
+
+def redirect_target(page_id: int, n_pages: int) -> int:
+    return (page_id * 5 + 3) % n_pages
+
+
+def page_row(
+    page_id: int, n_pages: int, extra_paras: int = 0, with_redirects: bool = False
+) -> dict:
     url = url_of(page_id)
+    ts = _EPOCH + datetime.timedelta(seconds=page_id * 37 % 86400)
+    if is_redirect(page_id, with_redirects):
+        # a 3xx row: Location only, no content (curl discards 3xx bodies)
+        return {
+            "url": url, "warc_ts": ts, "html": None, "text": None,
+            "lang": None,
+            "redirect_to": url_of(redirect_target(page_id, n_pages)),
+        }
     html = page_html(page_id, n_pages, extra_paras)
     text = html_lex(html, url).text.decode("utf-8")
-    return {
+    row = {
         "url": url,
-        "warc_ts": _EPOCH + datetime.timedelta(seconds=page_id * 37 % 86400),
+        "warc_ts": ts,
         "html": html,
         "text": text,
         "lang": _LANGS[page_id % len(_LANGS)],
     }
+    if with_redirects:
+        row["redirect_to"] = None
+    return row
 
 
-def pages_pdf(page_ids, n_pages: int, extra_paras: int = 0) -> pd.DataFrame:
-    return pd.DataFrame([page_row(int(i), n_pages, extra_paras) for i in page_ids])
+def pages_pdf(
+    page_ids, n_pages: int, extra_paras: int = 0, with_redirects: bool = False
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        [page_row(int(i), n_pages, extra_paras, with_redirects) for i in page_ids]
+    )
 
 
-def pages_df(spark, n_pages: int, parallelism: int | None = None, extra_paras: int = 0):
+def pages_df(
+    spark,
+    n_pages: int,
+    parallelism: int | None = None,
+    extra_paras: int = 0,
+    with_redirects: bool = False,
+):
     """Distributed generation: spark.range → mapInPandas (scales linearly)."""
     from pyspark.sql.types import (
         BinaryType,
@@ -149,20 +184,21 @@ def pages_df(spark, n_pages: int, parallelism: int | None = None, extra_paras: i
         TimestampType,
     )
 
-    schema = StructType(
-        [
-            StructField("url", StringType()),
-            StructField("warc_ts", TimestampType()),
-            StructField("html", BinaryType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-        ]
-    )
+    fields = [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+    if with_redirects:
+        fields.append(StructField("redirect_to", StringType()))
+    schema = StructType(fields)
     rng = spark.range(n_pages, numPartitions=parallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield pages_pdf(b["id"].tolist(), n_pages, extra_paras)
+            yield pages_pdf(b["id"].tolist(), n_pages, extra_paras, with_redirects)
 
     return rng.mapInPandas(gen, schema)
 

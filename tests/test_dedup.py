@@ -172,3 +172,31 @@ def test_repeated_spans_known_corpus(spark):
     # doc 1: starts at 0 -> [0, 9)
     assert spans[1] == (0, 9, 6)
     assert 2 not in spans
+
+
+def test_span_removal_oracle(docs, con):
+    assert_same(
+        dedup.remove_repeated_spans(docs, k=5, min_df=2),
+        con.sql(dedup.remove_repeated_spans_sql(k=5, min_df=2)),
+        ["doc_id", "clean_text"],
+    )
+
+
+def test_span_removal_known_corpus(spark):
+    """Splice semantics: covered tokens go, kept text is byte-stable."""
+    boiler = "all rights reserved contact us at example dot com"  # 9 tokens
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta"),
+        (1, f"{boiler} epsilon zeta"),
+        (2, "entirely unique text with no repeats whatsoever here"),
+        (3, boiler),  # fully covered → ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.remove_repeated_spans(df, k=4, min_df=2).collect()
+    }
+    assert got[0] == "alpha beta gamma delta"
+    assert got[1] == "epsilon zeta"
+    assert got[2] == rows[2][1]  # untouched doc is byte-identical
+    assert got[3] == ""

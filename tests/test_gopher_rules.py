@@ -56,3 +56,67 @@ def test_filter_keeps_majority_of_clean_corpus(spark):
     n = docs.count()
     kept = out.filter("keep").count()
     assert kept > 0.9 * n  # clean synthetic prose passes at a low word bound
+
+
+# ---------------------------------------------- repetition half ----------
+from mycelium_spark.operators.quality import (  # noqa: E402
+    repetition_features,
+    repetition_filter,
+)
+
+
+def _rep(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_filter(docs).collect()
+    return {r.doc_id: (r.keep, r.fail_reason) for r in out}
+
+
+def test_repetition_rules_fire(spark):
+    l1 = "alpha beta gamma delta"
+    l2 = "epsilon zeta eta theta"
+    l3 = "iota kappa lambda mu nu"
+    # clean doc long enough that no single n-gram covers >16% of it
+    clean = "\n".join(
+        " ".join(f"word{i}x{j}" for j in range(8)) for i in range(6)
+    )
+    rows = [
+        (0, clean),
+        (1, "\n".join([l1, l2, l1, l1])),                      # 2/4 dup lines
+        # dup paragraph whose lines stay below the line threshold:
+        # paras = [A, B(6 distinct lines), A] → para dup 1/3 > 0.3,
+        # line dup 2/10 = 0.2 ≤ 0.3
+        (2, "aa bb\n\n" + "\n".join(
+            f"line{i} word{i} tail{i} extra{i} pad{i}" for i in range(6)
+        ) + "\n\naa bb"),
+        (3, l1 + " " + "foo bar " * 12),                       # hot 2-gram
+    ]
+    got = _rep(spark, rows)
+    assert got[0] == (True, None)
+    assert got[1][1] == "dup_lines"
+    assert got[2][1] == "dup_paras"
+    assert got[3][1] == "top_2gram"
+
+
+def test_repetition_boundaries(spark):
+    """all-but-first convention + exact threshold semantics (> not >=)."""
+    # 10 lines, 3 of them duplicates of line0 → dup_line_frac = 0.3,
+    # NOT > 0.3 → the line rule must NOT fire
+    base = [f"u{i} v{i} w{i} longish{i} trailer{i}" for i in range(7)]
+    at_thr = "\n".join(base + ["u0 v0 w0 longish0 trailer0"] * 3)
+    feats = {
+        r.doc_id: r
+        for r in repetition_features(
+            spark.createDataFrame([(0, at_thr)], "doc_id long, text string")
+        ).collect()
+    }
+    assert abs(feats[0].dup_line_frac - 0.3) < 1e-9
+    got = _rep(spark, [(0, at_thr)])
+    assert got[0][1] != "dup_lines"
+
+
+def test_repetition_short_doc_ngram_zero(spark):
+    feats = repetition_features(
+        spark.createDataFrame([(0, "single")], "doc_id long, text string")
+    ).collect()[0]
+    assert feats.top2gram_char_frac == 0.0
+    assert feats.top4gram_char_frac == 0.0

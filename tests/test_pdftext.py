@@ -153,3 +153,92 @@ def test_type0_without_tounicode_still_415_path():
     )
     c = b"BT /F9 12 Tf <00480065> Tj ET"
     assert pdf_extract_text(_pdf(c, extra=extra)) is None
+
+
+# ---- round-4 additions: LZW, cross-stream font state, CID literals ----
+
+def _lzw_encode_9bit(data: bytes) -> bytes:
+    """Minimal TIFF/PDF LZW encoder for fixtures (table stays < 512
+    entries → fixed 9-bit codes; clear up front, EOD at the end)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    codes = [256]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+        else:
+            codes.append(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            w = c
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+    assert next_code < 511  # fixture must stay within 9-bit codes
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code in codes:
+        buf = (buf << 9) | code
+        nbits += 9
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_stream_extracts():
+    content = b"BT (lzw compressed text) Tj 0 -14 Td (second line) Tj ET"
+    data = _lzw_encode_9bit(content)
+    raw = (
+        b"%PDF-1.4\n"
+        b"4 0 obj << /Length " + str(len(data)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + data
+        + b"\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_extract_text(raw) == "lzw compressed text\nsecond line\n"
+
+
+def test_lzw_decode_roundtrip_and_corrupt():
+    from mycelium_spark.functions.pdftext import lzw_decode
+
+    msg = b"abcabcabcabc repeated payload " * 8
+    assert lzw_decode(_lzw_encode_9bit(msg)) == msg
+    # first code must be a literal — a table reference up front is corrupt
+    assert lzw_decode(b"\xff\xff\xff") is None
+
+
+def test_font_state_threads_across_streams():
+    """A Tf issued in one content stream persists into the next (the PDF
+    spec concatenates a page's streams) — Type0 hex text in a
+    continuation stream decodes through the earlier stream's CMap."""
+    s2 = b"BT <0065> Tj ET"
+    extra = (
+        b"8 0 obj << /Length " + str(len(s2)).encode() + b" >>\n"
+        b"stream\n" + s2 + b"\nendstream\nendobj\n"
+    )
+    c = b"BT /F9 12 Tf <0048> Tj ET"
+    raw = _type0_pdf(c)
+    raw = raw.replace(b"trailer", extra + b"trailer")
+    assert pdf_extract_text(raw) == "H\ne\n"
+
+
+def test_type0_without_tounicode_literal_cids_not_leaked():
+    """Literal-string CIDs under a Type0 font with no ToUnicode must be
+    DROPPED (glyph ids are not text), not emitted as raw bytes; a doc
+    with only such text 415s — the reference's pdftotext-failed path
+    (local_indexer.cc:127)."""
+    extra = (
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake"
+        b" /Encoding /Identity-H >> endobj\n"
+        b"7 0 obj << /Resources << /Font << /F9 5 0 R >> >> >> endobj\n"
+    )
+    c = b"BT /F9 12 Tf (\x00H\x00e) Tj ET"
+    assert pdf_extract_text(_pdf(c, extra=extra)) is None
+    # ...but other real text in the doc still extracts (partial doc)
+    c2 = b"BT /F9 12 Tf (\x00H) Tj /F1 12 Tf (visible) Tj ET"
+    assert pdf_extract_text(_pdf(c2, extra=extra)) == "visible\n"
