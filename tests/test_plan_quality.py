@@ -88,3 +88,38 @@ def test_events_scan_prunes_columns(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "user_id" in read_schema and "value" in read_schema
     assert "payload" not in read_schema and "event_type" not in read_schema
+
+
+def test_repetition_filter_jvm_with_partial_agg(spark):
+    """The repetition rules are pure JVM (no Python eval anywhere) and the
+    top-n-gram counts get a map-side partial aggregate before shuffling
+    (doc_id, gram) keys."""
+    _, plan = _plan(spark, "repetition_filter")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_removal_jvm_splice(spark):
+    """Span removal: the splice is a per-row array expression — document
+    text is never exploded, and no Python node appears."""
+    _, plan = _plan(spark, "span_removal")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    assert "CartesianProduct" not in plan
+    # repeated_spans' posexplode runs over shingle hashes; the doc text
+    # itself rides only the doc_id join (one Generate from the spans
+    # branch, none over the text column)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_redirect_resolver_equi_joins_only(spark):
+    """Chain resolution is ≤6 hash equi-joins on the effective URL —
+    never a nested-loop/cartesian plan, and the per-hop follow UDF is the
+    only Python stage (Arrow-batched, matched rows only)."""
+    _, plan = _plan(spark, "redirect_resolve")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
