@@ -9,7 +9,7 @@ engines' plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import LANG_PROFILES
@@ -298,8 +298,14 @@ FROM m
 #   count * charlen(ngram) / charlen(text) — "the n-gram covering the
 #   most characters", a deterministic tie-free form of the paper's
 #   most-frequent-n-gram coverage;
-# * documents with fewer than n tokens have top-n-gram fraction 0.
+# * duplicated-n-gram character fraction (n = 5..10) is the UNION of
+#   token positions covered by any occurrence of an n-gram that repeats
+#   within the document (all occurrences count, overlap counted once),
+#   measured in token characters over charlen(text) — the paper's
+#   "fraction of characters contained within duplicated n-grams";
+# * documents with fewer than n tokens have n-gram fractions 0.
 _REP_NS = (2, 3, 4)
+_DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
 def _dup_frac_cols(arr: str) -> tuple:
@@ -318,12 +324,16 @@ def repetition_features(
 ) -> DataFrame:
     """Per-doc repetition metrics → (doc_id, dup_line_frac,
     dup_line_char_frac, dup_para_frac, dup_para_char_frac,
-    top{2,3,4}gram_char_frac), all 6-dp rounded.
+    top{2,3,4}gram_char_frac, dup{5..10}gram_char_frac), all 6-dp
+    rounded — the complete repetition column set of Rae et al. Table A1.
 
     Plan shape: the line/paragraph metrics are pure per-row array
     expressions (no shuffle); each top-n-gram metric is one explode →
-    per-(doc, gram) count with map-side combine → per-doc max — shuffle
-    keyed by (doc_id, gram), bounded by document length, never all-pairs.
+    per-(doc, gram) count with map-side combine → per-doc max; each
+    dup-n-gram metric rides ONE (doc, gram) window shuffle (the count
+    rides the same exchange, the ngram-df-pruning trick) then unions
+    covered token positions per doc. Every shuffle is keyed by doc or
+    (doc, gram), bounded by document length, never all-pairs.
     """
     lines = f"split({text_col}, '\\n')"
     paras = f"split({text_col}, '\\n\\n')"
@@ -363,8 +373,50 @@ def repetition_features(
             )
         )
         out = out.join(top, id_col, "left")
-    for n in _REP_NS:
-        c = f"top{n}gram_char_frac"
+    # duplicated-n-gram coverage: positioned grams → window count over
+    # (doc, gram) → explode covered positions → distinct union → sum of
+    # covered token lengths / charlen(text)
+    tok_lens = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(toks)).alias("_p", "_t"),
+    ).select(id_col, "_p", F.length("_t").alias("_len"))
+    for n in _DUP_NS:
+        ng_arr = (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END"
+        )
+        pos_ng = docs.select(
+            F.col(id_col),
+            F.length(text_col).alias("_tot"),
+            F.posexplode(F.expr(ng_arr)).alias("_pos", "g"),
+        )
+        w = Window.partitionBy(id_col, "g")
+        hits = (
+            pos_ng.withColumn("_c", F.count(F.lit(1)).over(w))
+            .filter(F.col("_c") > 1)
+            .select(id_col, "_tot", "_pos")
+        )
+        cov_pos = hits.select(
+            id_col, "_tot",
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_p"),
+        ).dropDuplicates([id_col, "_p"])
+        cov = (
+            cov_pos.join(tok_lens, [id_col, "_p"])
+            .groupBy(id_col, "_tot")
+            .agg(F.sum("_len").alias("_cov"))
+            .select(
+                id_col,
+                F.round(F.col("_cov") / F.col("_tot"), 6).alias(
+                    f"dup{n}gram_char_frac"
+                ),
+            )
+        )
+        out = out.join(cov, id_col, "left")
+    for c in [f"top{n}gram_char_frac" for n in _REP_NS] + [
+        f"dup{n}gram_char_frac" for n in _DUP_NS
+    ]:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     return out
 
@@ -396,6 +448,30 @@ def repetition_features_sql(source: str = "documents") -> str:
 )"""
         )
         joins.append(f"LEFT JOIN top{n} ON base.doc_id = top{n}.doc_id")
+    for n in _DUP_NS:
+        ng = (
+            f"[array_to_string(toks[i+1:i+{n}], ' ') "
+            f"for i in range(0, greatest(len(toks) - {n} + 1, 0))]"
+        )
+        ng_tops.append(
+            f"""png{n} AS (
+  SELECT doc_id, length(text) AS tot, unnest({ng}) AS g,
+         generate_subscripts({ng}, 1) - 1 AS pos
+  FROM t
+), hits{n} AS (
+  SELECT doc_id, tot, pos FROM (
+    SELECT doc_id, tot, pos, count(*) OVER (PARTITION BY doc_id, g) AS c
+    FROM png{n}
+  ) WHERE c > 1
+), cov{n} AS (
+  SELECT c.doc_id, round(CAST(sum(length(tk.tok)) AS DOUBLE) / any_value(c.tot), 6) AS f
+  FROM (SELECT DISTINCT doc_id, tot, unnest(range(pos, pos + {n})) AS p
+        FROM hits{n}) c
+  JOIN toksp tk ON tk.doc_id = c.doc_id AND tk.p = c.p
+  GROUP BY c.doc_id
+)"""
+        )
+        joins.append(f"LEFT JOIN cov{n} ON base.doc_id = cov{n}.doc_id")
 
     def dup(arr):
         chars = _rep_sql_chars(arr)
@@ -409,7 +485,8 @@ def repetition_features_sql(source: str = "documents") -> str:
     pd_, pc = dup("paras")
     tops = ",\n".join(ng_tops)
     sel_tops = ", ".join(
-        f"coalesce(top{n}.f, 0.0) AS top{n}gram_char_frac" for n in _REP_NS
+        [f"coalesce(top{n}.f, 0.0) AS top{n}gram_char_frac" for n in _REP_NS]
+        + [f"coalesce(cov{n}.f, 0.0) AS dup{n}gram_char_frac" for n in _DUP_NS]
     )
     return f"""
 WITH t AS (
@@ -418,6 +495,9 @@ WITH t AS (
          string_split(text, chr(10) || chr(10)) AS paras,
          list_filter(string_split(text, ' '), x -> x != '') AS toks
   FROM {source}
+), toksp AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS p
+  FROM t
 ), base AS (
   SELECT doc_id,
          {ld} AS dup_line_frac,
@@ -442,6 +522,12 @@ _REP_THRESHOLDS = (
     ("top2gram_char_frac", 0.20, "top_2gram"),
     ("top3gram_char_frac", 0.18, "top_3gram"),
     ("top4gram_char_frac", 0.16, "top_4gram"),
+    ("dup5gram_char_frac", 0.15, "dup_5gram"),
+    ("dup6gram_char_frac", 0.14, "dup_6gram"),
+    ("dup7gram_char_frac", 0.13, "dup_7gram"),
+    ("dup8gram_char_frac", 0.12, "dup_8gram"),
+    ("dup9gram_char_frac", 0.11, "dup_9gram"),
+    ("dup10gram_char_frac", 0.10, "dup_10gram"),
 )
 
 

@@ -862,11 +862,12 @@ register("quality_filter", quality.gopher_rules_sql())(
 # from text slices by an engine-identical SQL fragment — dup-line docs,
 # dup-para docs whose lines stay mostly distinct, hot-n-gram docs, and
 # clean docs, so every rule branch is substantively exercised.
-_REP_CONSTRUCT = """CASE CAST(doc_id % 5 AS INT)
+_REP_CONSTRUCT = """CASE CAST(doc_id % 6 AS INT)
     WHEN 0 THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 30) || chr(10) || substr(text, 61, 30)
     WHEN 1 THEN substr(text, 1, 30) || chr(10) || substr(text, 31, 30) || chr(10) || substr(text, 1, 30) || chr(10) || substr(text, 1, 30)
     WHEN 2 THEN substr(text, 1, 10) || chr(10) || chr(10) || substr(text, 11, 25) || chr(10) || substr(text, 36, 25) || chr(10) || substr(text, 61, 25) || chr(10) || substr(text, 86, 25) || chr(10) || substr(text, 111, 25) || chr(10) || substr(text, 136, 25) || chr(10) || chr(10) || substr(text, 1, 10)
     WHEN 3 THEN substr(text, 1, 30) || repeat(' foo bar', 12)
+    WHEN 4 THEN 'u0 v1 w2 x3 y4 z5 u6 v7 w8 x9 yA zB ' || substr(text, 1, 180) || ' u0 v1 w2 x3 y4 z5 u6 v7 w8 x9 yA zB'
     ELSE text
   END"""
 

@@ -120,3 +120,33 @@ def test_repetition_short_doc_ngram_zero(spark):
     ).collect()[0]
     assert feats.top2gram_char_frac == 0.0
     assert feats.top4gram_char_frac == 0.0
+
+
+def test_dup_ngram_coverage_union_semantics(spark):
+    """dup-n-gram char fraction: ALL occurrences of a repeated n-gram
+    count, overlap counted once (union of covered token positions)."""
+    # phrase of 6 tokens repeated twice, long distinct filler between
+    phrase = "aa bb cc dd ee ff"
+    filler = " ".join(f"fill{i}word{i}" for i in range(40))
+    text = f"{phrase} {filler} {phrase}"
+    feats = repetition_features(
+        spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ).collect()[0]
+    # covered tokens: both phrase occurrences (12 tokens x 2 chars);
+    # denominator = charlen(text)
+    expected = round(2 * (6 * 2) / len(text), 6)
+    assert abs(feats.dup5gram_char_frac - expected) < 1e-9
+    assert abs(feats.dup6gram_char_frac - expected) < 1e-9
+    # no 7-gram repeats (phrase is only 6 tokens)
+    assert feats.dup7gram_char_frac == 0.0
+
+
+def test_dup_ngram_rule_fires_and_is_strict(spark):
+    # 12-token phrase of LONG tokens: any single 4-gram covers < 16% of
+    # the doc (top-n-gram rules stay quiet) but the repeated phrase
+    # covers ~37% → the first dup-n-gram rule names the failure
+    phrase = " ".join(f"phrase{i:02d}" for i in range(12))
+    filler = " ".join(f"fillword{i:02d}" for i in range(30))
+    doc_fail = f"{phrase} {filler} {phrase}"
+    got = _rep(spark, [(0, doc_fail)])
+    assert got[0][1] == "dup_5gram"  # first dup rule in order fires
