@@ -612,13 +612,38 @@ class CrawlEngine:
         unused, for the re-crawl use case."""
         latest = self.docs_latest()
         if latest is None:
-            return self.pages.select("url")
-        return (
-            self.pages.select("url", F.col("warc_ts").alias("_new_ts"))
-            .join(latest.select("url", F.col("modified").alias("_old_ts")), "url", "left")
-            .filter(F.col("_old_ts").isNull() | (F.col("_new_ts") != F.col("_old_ts")))
+            return self.content_pages.select("url")
+        # Redirect-aware: a doc fetched through a chain carries its bytes
+        # from the EFFECTIVE URL, so freshness compares the effective
+        # page's warc_ts; a content page already covered as some chain's
+        # target is not proposed as never-crawled.
+        eff = (
+            F.coalesce(F.col("eff_url"), F.col("url"))
+            if "eff_url" in latest.columns
+            else F.col("url")
+        )
+        crawled = latest.select(
+            "url", eff.alias("_eff"), F.col("modified").alias("_old_ts")
+        )
+        pages_ts = self.content_pages.select(
+            F.col("url").alias("_eff"), F.col("warc_ts").alias("_new_ts")
+        )
+        # docs whose effective page changed — or whose last fetch was a
+        # failure stub (_old_ts null, retryable) that now has content
+        changed = (
+            crawled.join(pages_ts, "_eff", "left")
+            .filter(
+                F.col("_new_ts").isNotNull()
+                & (F.col("_old_ts").isNull() | (F.col("_new_ts") != F.col("_old_ts")))
+            )
             .select("url")
         )
+        # content pages reached by no crawl, neither directly nor as a
+        # redirect target
+        uncrawled = pages_ts.join(
+            crawled.select("_eff"), "_eff", "left_anti"
+        ).select(F.col("_eff").alias("url"))
+        return changed.unionByName(uncrawled)
 
     def run(self, max_rounds: int = 10) -> list[dict]:
         stats = []

@@ -211,3 +211,14 @@ def test_synth_corpus_with_redirects(spark, tmp_path):
     # seen stays a set
     seen = eng.cat.read("seen")
     assert seen.count() == seen.select("url").distinct().count()
+
+
+def test_refresh_candidates_redirect_aware(spark, chain_pages, crawled):
+    """S5 refresh with chains: freshness keys on the EFFECTIVE page, and
+    chain targets are not proposed as never-crawled."""
+    eng, docs, seen = crawled
+    cands = {r.url for r in eng.refresh_candidates().collect()}
+    assert "http://c.example/end" not in cands    # covered as A's target
+    assert "http://h5.example/r" not in cands     # covered as h0's target
+    assert "http://g6.example/r" in cands         # never reached (over-cap chain)
+    assert "http://a.example/start" not in cands  # effective page unchanged
