@@ -495,13 +495,13 @@ def repeated_spans(
     )
 
 
-def repeated_spans_sql(k: int = 5, min_df: int = 2) -> str:
+def repeated_spans_sql(k: int = 5, min_df: int = 2, source: str = "documents") -> str:
     sh = shingles_sql("string_split(text, ' ')", k)
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest({sh}) AS shingle,
          generate_subscripts({sh}, 1) - 1 AS pos
-  FROM documents
+  FROM {source}
 ), hashed AS (
   SELECT doc_id, pos, {_hash28_sql('shingle')} AS h FROM sh
 ), hot AS (
@@ -562,14 +562,16 @@ def remove_repeated_spans(
     )
 
 
-def remove_repeated_spans_sql(k: int = 5, min_df: int = 2) -> str:
+def remove_repeated_spans_sql(
+    k: int = 5, min_df: int = 2, source: str = "documents"
+) -> str:
     toks = "string_split(text, ' ')"
     return f"""
-WITH spans AS ({repeated_spans_sql(k, min_df)}),
+WITH spans AS ({repeated_spans_sql(k, min_df, source)}),
 toks AS (
   SELECT doc_id, unnest({toks}) AS tok,
          generate_subscripts({toks}, 1) - 1 AS pos
-  FROM documents
+  FROM {source}
 ), kept AS (
   SELECT t.doc_id, t.tok, t.pos FROM toks t
   WHERE NOT EXISTS (SELECT 1 FROM spans s
@@ -580,7 +582,7 @@ toks AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+FROM {source} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 

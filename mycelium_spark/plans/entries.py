@@ -699,6 +699,43 @@ def dedup_corpus_q(spark, sf_dir):
     )
     return clusters.dedup_corpus(docs, cl).select("doc_id")
 
+# The full training-data pipeline COMPOSED end-to-end in one verified
+# query — quality gate (Gopher rules) ∧ repetition gate → exact-substring
+# span removal over the surviving corpus (df counted among survivors) →
+# exact dedup on the CLEANED text (min-id survivor per identical result).
+# The oracle nests the same four SQL builders; the driver's value-hash
+# compare therefore verifies the stage COMPOSITION, not just each stage.
+@register(
+    "clean_corpus",
+    f"""
+WITH keptids AS (
+  SELECT g.doc_id FROM ({quality.gopher_rules_sql()}) g
+  JOIN ({quality.repetition_filter_sql('documents')}) r ON g.doc_id = r.doc_id
+  WHERE g.keep AND r.keep
+), keptdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keptids k ON d.doc_id = k.doc_id
+), cleaned AS ({dedup.remove_repeated_spans_sql(5, 2, 'keptdocs')})
+SELECT min(doc_id) AS doc_id, clean_md5
+FROM (SELECT doc_id, md5(clean_text) AS clean_md5 FROM cleaned)
+GROUP BY clean_md5
+""",
+)
+def clean_corpus_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    g = quality.gopher_rules(docs).filter("keep").select("doc_id")
+    r = quality.repetition_filter(docs).filter("keep").select("doc_id")
+    kept = docs.join(g, "doc_id").join(r, "doc_id")
+    cleaned = dedup.remove_repeated_spans(kept, 5, 2)
+    hashed = cleaned.select(
+        "doc_id", F.md5(F.col("clean_text").cast("binary")).alias("clean_md5")
+    )
+    return (
+        hashed.groupBy("clean_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "clean_md5")
+    )
+
+
 # threshold 0.3 so the result is non-trivial on the near-uniform synthetic
 # vectors (0.8 yields zero pairs at sf<=0.01; a 0-row pass proves little)
 register("embedding_neardup_lsh", dedup.embedding_neardup_lsh_sql(0.3, 6, 64))(
