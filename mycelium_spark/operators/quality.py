@@ -373,51 +373,47 @@ def repetition_features(
             )
         )
         out = out.join(top, id_col, "left")
-    # duplicated-n-gram coverage — ONE fused pass for all six n: a single
-    # explode of (n, pos, gram) tuples, one window count over
-    # (doc, n, gram), one covered-position union keyed (doc, n, pos),
-    # one token-length join, then a pivot back to columns. Same shuffle
-    # volume as six separate passes but 1 job instead of 6 (job/scan
-    # overhead dominated the per-query leg at bench SF).
+    # duplicated-n-gram coverage: positioned grams → window count over
+    # (doc, gram) → explode covered positions → distinct union → sum of
+    # covered token lengths / charlen(text)
     tok_lens = docs.select(
         F.col(id_col),
         F.posexplode(F.expr(toks)).alias("_p", "_t"),
     ).select(id_col, "_p", F.length("_t").alias("_len"))
-    ns_arr = "array(" + ", ".join(str(n) for n in _DUP_NS) + ")"
-    fused = (
-        f"flatten(transform({ns_arr}, n -> "
-        f"CASE WHEN size({toks}) >= n THEN "
-        f"transform(sequence(1, size({toks}) - n + 1), "
-        f"i -> named_struct('n', n, 'pos', i - 1, "
-        f"'g', concat_ws(' ', slice({toks}, i, n)))) "
-        f"ELSE array() END))"
-    )
-    pos_ng = docs.select(
-        F.col(id_col),
-        F.length(text_col).alias("_tot"),
-        F.explode(F.expr(fused)).alias("_e"),
-    ).select(id_col, "_tot", "_e.n", "_e.pos", "_e.g")
-    w = Window.partitionBy(id_col, "n", "g")
-    hits = (
-        pos_ng.withColumn("_c", F.count(F.lit(1)).over(w))
-        .filter(F.col("_c") > 1)
-        .select(id_col, "_tot", "n", "pos")
-    )
-    cov_pos = hits.select(
-        id_col, "_tot", "n",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)).alias("_p"),
-    ).dropDuplicates([id_col, "n", "_p"])
-    covs = (
-        cov_pos.join(tok_lens, [id_col, "_p"])
-        .groupBy(id_col, "_tot")
-        .pivot("n", list(_DUP_NS))
-        .sum("_len")
-    )
-    sel = [F.col(id_col)] + [
-        F.round(F.col(str(n)) / F.col("_tot"), 6).alias(f"dup{n}gram_char_frac")
-        for n in _DUP_NS
-    ]
-    out = out.join(covs.select(*sel), id_col, "left")
+    for n in _DUP_NS:
+        ng_arr = (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n} + 1), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE array() END"
+        )
+        pos_ng = docs.select(
+            F.col(id_col),
+            F.length(text_col).alias("_tot"),
+            F.posexplode(F.expr(ng_arr)).alias("_pos", "g"),
+        )
+        w = Window.partitionBy(id_col, "g")
+        hits = (
+            pos_ng.withColumn("_c", F.count(F.lit(1)).over(w))
+            .filter(F.col("_c") > 1)
+            .select(id_col, "_tot", "_pos")
+        )
+        cov_pos = hits.select(
+            id_col, "_tot",
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_p"),
+        ).dropDuplicates([id_col, "_p"])
+        cov = (
+            cov_pos.join(tok_lens, [id_col, "_p"])
+            .groupBy(id_col, "_tot")
+            .agg(F.sum("_len").alias("_cov"))
+            .select(
+                id_col,
+                F.round(F.col("_cov") / F.col("_tot"), 6).alias(
+                    f"dup{n}gram_char_frac"
+                ),
+            )
+        )
+        out = out.join(cov, id_col, "left")
     for c in [f"top{n}gram_char_frac" for n in _REP_NS] + [
         f"dup{n}gram_char_frac" for n in _DUP_NS
     ]:
