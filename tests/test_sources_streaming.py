@@ -147,3 +147,58 @@ def test_run_streaming_end_to_end(spark, tmp_path):
     # seen set is still a set (no url crawled twice)
     seen = eng.cat.read("seen")
     assert seen.count() == seen.select("url").distinct().count()
+
+
+def test_run_streaming_with_redirects(spark, tmp_path):
+    """Streaming-ingested seeds feed a redirect round: the chain resolves,
+    eff_url is stamped, and both ends enter the seen set. (The
+    run_streaming wrapper itself is covered by the test above; this pins
+    the redirect interplay with ONE ingest + ONE round to stay cheap.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.plans.crawl import CrawlEngine
+    from mycelium_spark.sources import synth
+    from mycelium_spark.streaming.seed_stream import seed_stream
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    n = 120
+    schema = ("url string, warc_ts timestamp, html binary, text string,"
+              " lang string, redirect_to string")
+    pages = spark.createDataFrame(
+        synth.pages_pdf(range(n), n, with_redirects=True), schema
+    ).cache()
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    with open(seed_dir / "s1.txt", "w") as f:
+        for i in (7, 26, 1):  # 7 and 26 are redirect rows (id % 19 == 7)
+            f.write(synth.url_of(i) + "\n")
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), pages, per_host_budget=4, n_buckets=4,
+        bloom_bits=1 << 14,
+    )
+    q = seed_stream(
+        spark, str(seed_dir), lambda df, bid: eng.add_seeds(df),
+        str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    # poll until the ingest committed the frontier, then stop the query
+    # (cheaper than waiting out availableNow's idle drain)
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if int(eng.cat.meta("frontier").get("rows", 0)) >= 3:
+            break
+        time.sleep(2)
+    q.stop()
+    stats = eng.run_round()
+    assert stats["scheduled"] == 3
+    docs = {r["url"]: r for r in eng.cat.read("docs").collect()}
+    d7 = docs[synth.url_of(7)]
+    assert d7["eff_url"] is not None and d7["curl_code"] == 0
+    expected = {
+        r["url"]: r["text"] for r in pages.select("url", "text").collect()
+    }
+    assert d7["text"] == expected[d7["eff_url"]]  # byte-identity through chain
+    seen = [r["url"] for r in eng.cat.read("seen").collect()]
+    assert len(seen) == len(set(seen))
+    assert synth.url_of(7) in seen and d7["eff_url"] in seen
