@@ -30,11 +30,20 @@ every PDF to 415. This module implements the common subset natively:
   the reference hits when pdftotext emits nothing usable
   (local_indexer.cc:127).
 
-NOT covered (returns None → caller 415s, the reference's own failure
-path): encrypted files, predefined CMap names (no CMap files ship
-here), DCT/CCITT/JBIG2 filters (image codecs — no text lives there),
-object streams (/ObjStm). For the text-PDF corpus a local indexer
-actually meets, the common subset extracts.
+* /ObjStm object streams (PDF 1.5+, spec §7.5.7): modern writers move
+  font dictionaries and /Font resource dicts into compressed object
+  streams (the ToUnicode CMap streams and page content streams remain
+  regular objects — streams may not nest inside an ObjStm). Embedded
+  objects are indexed from the N (objnum, offset) header pairs and
+  join the linear object scan, so Type0+ToUnicode text extracts from
+  cross-referenced-by-stream files too.
+
+NOT covered — PERMANENTLY out of scope (returns None → caller 415s, the
+reference's own failure path when pdftotext emits nothing usable):
+encrypted files (RC4/AES decryption), predefined CMap names (no CMap
+data files ship here), DCT/CCITT/JBIG2 filters (image codecs — no text
+lives there). For the text-PDF corpus a local indexer actually meets,
+the common subset extracts.
 """
 
 from __future__ import annotations
@@ -62,6 +71,8 @@ _BF_RANGE_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
 )
 _ARR_ITEM_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -121,6 +132,61 @@ def lzw_decode(data: bytes, early: int = 1) -> bytes | None:
             if len(table) >= (1 << width) - early and width < 12:
                 width += 1
     return bytes(out)  # tolerant: EOD-less streams end at data end
+
+
+def _decode_stream(sdict: bytes, data: bytes) -> bytes | None:
+    """Apply the stream dict's filter to raw stream bytes (one trailing
+    EOL stripped per spec); None = unsupported filter or corrupt data."""
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data.endswith(b"\n") or data.endswith(b"\r"):
+        data = data[:-1]
+    if b"/FlateDecode" in sdict:
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    if b"/LZWDecode" in sdict:
+        return lzw_decode(data)
+    if b"/Filter" in sdict:
+        return None  # DCT/CCITT/... unsupported (image codecs)
+    return data
+
+
+def _objstm_embedded(objects: dict[int, bytes]) -> dict[int, bytes]:
+    """objnum → body for every object embedded in an /ObjStm object
+    stream (spec §7.5.7). The decompressed stream's first /First bytes
+    hold /N (objnum, relative-offset) integer pairs; the bodies follow
+    back-to-back with no obj/endobj wrappers. Stream objects may not
+    nest, so only dictionary-shaped objects (fonts, resources, pages)
+    come from here."""
+    out: dict[int, bytes] = {}
+    for body in objects.values():
+        if b"/ObjStm" not in body:
+            continue
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            continue
+        data = body[sm.end():]
+        end = data.find(b"endstream")
+        if end >= 0:
+            data = data[:end]
+        decoded = _decode_stream(sm.group(1), data)
+        mn = _OBJSTM_N_RE.search(sm.group(1))
+        mf = _OBJSTM_FIRST_RE.search(sm.group(1))
+        if decoded is None or mn is None or mf is None:
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        try:
+            header = decoded[:first].split()
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        except (ValueError, IndexError):
+            continue
+        for i, (num, off) in enumerate(pairs):
+            nxt = pairs[i + 1][1] if i + 1 < len(pairs) else len(decoded) - first
+            if 0 <= off <= nxt <= len(decoded) - first:
+                out[num] = decoded[first + off : first + nxt]
+    return out
 
 
 def _unescape_literal(raw: bytes) -> bytes:
@@ -209,8 +275,13 @@ def _font_cmaps(raw: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
 
     Linear object scan (same no-xref philosophy as the stream scan):
     font objects carry /ToUnicode n 0 R; /Font resource dicts bind the
-    content streams' /F* names to font object numbers."""
+    content streams' /F* names to font object numbers. Objects embedded
+    in /ObjStm streams join the scan (a direct object with the same
+    number wins — spec forbids the collision anyway)."""
     objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(raw)}
+    embedded = _objstm_embedded(objects)
+    for num, body in embedded.items():
+        objects.setdefault(num, body)
     cmap_of_font_obj: dict[int, tuple[int, dict[int, str]]] = {}
     for num, body in objects.items():
         if b"/Font" not in body or b"/Type0" not in body:
@@ -231,19 +302,18 @@ def _font_cmaps(raw: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
         end = data.find(b"endstream")
         if end >= 0:
             data = data[:end]
-        if b"/FlateDecode" in sm.group(1):
-            try:
-                data = zlib.decompress(data.rstrip(b"\r\n"))
-            except zlib.error:
-                continue
+        data = _decode_stream(sm.group(1), data)
+        if data is None:
+            continue
         parsed = _parse_tounicode_cmap(data)
         if parsed is not None:
             cmap_of_font_obj[num] = parsed
     fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
-    for res in _FONT_RES_RE.finditer(raw):
-        for name, ref in _FONT_REF_RE.findall(res.group(1)):
-            if int(ref) in cmap_of_font_obj:
-                fonts[name] = cmap_of_font_obj[int(ref)]
+    for res_src in (raw, *embedded.values()):
+        for res in _FONT_RES_RE.finditer(res_src):
+            for name, ref in _FONT_REF_RE.findall(res.group(1)):
+                if int(ref) in cmap_of_font_obj:
+                    fonts[name] = cmap_of_font_obj[int(ref)]
     return fonts
 
 
@@ -268,11 +338,12 @@ def _stream_text(
     The Tf operator switches the active font. ``state`` (mutated in
     place) threads the active font across successive calls — the PDF
     spec concatenates a page's content streams, so a Tf issued in one
-    stream persists into the next; it also records whether any text was
-    dropped under an UNDECODABLE font."""
+    stream persists into the next. Text under an UNDECODABLE font is
+    simply not emitted; a doc with nothing else yields no chunks and the
+    caller 415s."""
     chunks: list[bytes | str] = []
     if state is None:
-        state = {"cmap": None, "lost": False}
+        state = {"cmap": None}
 
     def _nl():
         if chunks and not (
@@ -285,7 +356,7 @@ def _stream_text(
     def _show(raw_bytes: bytes):
         cmap = state["cmap"]
         if cmap is UNDECODABLE:
-            state["lost"] = True
+            pass  # drop: no ToUnicode map — cannot decode the CIDs
         elif cmap is not None:
             chunks.append(_decode_cids(raw_bytes, cmap[0], cmap[1]))
         else:
@@ -295,7 +366,7 @@ def _stream_text(
         b = _decode_hex(h)
         cmap = state["cmap"]
         if cmap is UNDECODABLE:
-            state["lost"] = True
+            pass  # drop: no ToUnicode map — cannot decode the CIDs
         elif cmap is not None:
             chunks.append(_decode_cids(b, cmap[0], cmap[1]))
         # heuristic without a CMap: 2-byte CID codes are not decodable —
@@ -331,7 +402,7 @@ def pdf_extract_text(raw: bytes) -> str | None:
         return None
     fonts = _font_cmaps(raw)
     chunks: list[bytes | str] = []
-    font_state = {"cmap": None, "lost": False}  # threads across streams
+    font_state = {"cmap": None}  # threads across streams
     pos = 0
     while True:
         m = _STREAM_RE.search(raw, pos)
@@ -343,23 +414,12 @@ def pdf_extract_text(raw: bytes) -> str | None:
         if end < 0:
             break
         pos = end + 9
-        data = raw[start:end]
-        if data.endswith(b"\r\n"):
-            data = data[:-2]
-        elif data.endswith(b"\n") or data.endswith(b"\r"):
-            data = data[:-1]
-        if b"/FlateDecode" in sdict:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
-        elif b"/LZWDecode" in sdict:
-            decoded = lzw_decode(data)
-            if decoded is None:
-                continue
-            data = decoded
-        elif b"/Filter" in sdict:
-            continue  # DCT/CCITT/... unsupported (image codecs)
+        if b"/ObjStm" in sdict:
+            continue  # object-stream payloads are dicts, not page text
+        decoded = _decode_stream(sdict, raw[start:end])
+        if decoded is None:
+            continue
+        data = decoded
         if b"/Image" in sdict or b"/XObject" in sdict and b"BT" not in data:
             continue
         if b"begincmap" in data:

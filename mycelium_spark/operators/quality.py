@@ -178,6 +178,33 @@ def gopher_rules(
     NULL for kept documents. Rules are evaluated in a fixed order so the
     reason is deterministic.
     """
+    n_words, reason = gopher_reason_cols(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_line_frac,
+        min_alpha_word_frac, min_stop_hits, text_col,
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+def gopher_reason_cols(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+):
+    """(n_words, first_failing_rule) Columns — pure per-row expressions,
+    shared by gopher_rules and the scan-fused clean_gate."""
     toks = f"filter(split({text_col}, ' '), t -> t != '')"
     lines = f"split({text_col}, '\\n')"
     stops = "array(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + ")"
@@ -215,12 +242,7 @@ def gopher_rules(
         .when(alpha_word_frac < min_alpha_word_frac, "non_alpha_words")
         .when(stop_hits < min_stop_hits, "too_few_stopwords")
     )
-    return docs.select(
-        id_col,
-        n_words.alias("n_words"),
-        reason.isNull().alias("keep"),
-        reason.alias("fail_reason"),
-    )
+    return n_words, reason
 
 
 def gopher_rules_sql(
@@ -555,3 +577,43 @@ WITH feats AS ({repetition_features_sql(source)})
 SELECT doc_id, ({case}) IS NULL AS keep, {case} AS fail_reason
 FROM feats
 """
+
+
+_THR = {col: thr for col, thr, _ in _REP_THRESHOLDS}
+
+
+def clean_gate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivors (doc_id, text) of gopher_rules ∧ repetition_filter with a
+    scan-shared staged plan: every PER-ROW rule — all nine Gopher quality
+    rules plus the four dup-line/para repetition thresholds — evaluates in
+    ONE projection over ONE scan of the corpus, and only its survivors
+    feed the nine n-gram stages (each an explode + keyed agg), which read
+    the survivor set from a lineage-truncating localCheckpoint instead of
+    re-scanning and re-splitting the source per stage.
+
+    Identical keep set to joining the two filters: every rule is an AND'd
+    threshold on a per-doc metric, so evaluating the cheap per-row rules
+    first changes only the work, never the result. At corpus scale this
+    halves-or-better the n-gram explode mass (the per-row rules are the
+    most selective) and turns ~11 source scans into one.
+    """
+    lines = f"split({text_col}, '\\n')"
+    paras = f"split({text_col}, '\\n\\n')"
+    _, reason = gopher_reason_cols(text_col=text_col)
+    line_dup, line_chars = _dup_frac_cols(lines)
+    para_dup, para_chars = _dup_frac_cols(paras)
+    base = (
+        docs.select(id_col, text_col)
+        .filter(
+            reason.isNull()
+            & (line_dup <= _THR["dup_line_frac"])
+            & (line_chars <= _THR["dup_line_char_frac"])
+            & (para_dup <= _THR["dup_para_frac"])
+            & (para_chars <= _THR["dup_para_char_frac"])
+        )
+        .localCheckpoint(eager=False)
+    )
+    rep_keep = repetition_filter(base, text_col, id_col).filter("keep").select(id_col)
+    return base.join(rep_keep, id_col)

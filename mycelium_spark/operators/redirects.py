@@ -66,13 +66,18 @@ def follow_location_frame(cur: pd.Series, loc: pd.Series) -> pd.DataFrame:
 
     loc = loc.astype("object")
     cur = cur.astype("object")
+    # _FAST_RE itself anchors on the https?:// prefix; derive the scheme
+    # from it so BOTH protocols ride the vectorized path (https is the
+    # majority of real-web Locations — the old startswith("http://")
+    # screen pushed every https row through the per-row parse).
+    scheme_pref = loc.str.extract(r"^(https?)://", expand=False)
     fast = (
         loc.str.fullmatch(_FAST_RE, na=False)
         & ~loc.str.contains(_DOTSEG, regex=True, na=False)
-        & loc.str.startswith("http://")
+        & scheme_pref.notna()
     )
     if fast.all():
-        return pd.DataFrame({"next_url": loc, "scheme": "http"})
+        return pd.DataFrame({"next_url": loc, "scheme": scheme_pref})
 
     def slow(c, l):
         try:
@@ -86,7 +91,7 @@ def follow_location_frame(cur: pd.Series, loc: pd.Series) -> pd.DataFrame:
             return None, None
 
     outs = loc.copy()
-    schemes = pd.Series(["http"] * len(loc), index=loc.index, dtype="object")
+    schemes = scheme_pref.astype("object")
     idx = ~fast
     pairs = [slow(c, l) for c, l in zip(cur[idx], loc[idx])]
     outs[idx] = [p[0] for p in pairs]

@@ -508,9 +508,13 @@ class CrawlEngine:
         cand = cand.join(frontier.select("url"), "url", "left_anti")
         if self.has_redirects:
             # a link to this round's redirect TARGET is already crawled —
-            # its content just landed under the requesting doc's eff_url
+            # its content just landed under the requesting doc's eff_url.
+            # Only chains that actually YIELDED content suppress the
+            # target: a chain ending in a fetch-failure stub (curl 6/42)
+            # leaves the target fetchable, so a later direct link gets its
+            # own doc row (the reference stubs per requested URL).
             cand = cand.join(
-                allowed.filter(F.col("eff_url") != F.col("url")).select(
+                extracted.filter(F.col("eff_url") != F.col("url")).select(
                     F.col("eff_url").alias("url")
                 ),
                 "url",
@@ -548,14 +552,20 @@ class CrawlEngine:
             # BOTH ends of a followed chain enter the seen set: the
             # requested URL and the effective URL (a redirect target
             # already crawled must not be refetched when linked directly).
-            # Deduped against this round's scheduled set and the committed
-            # seen table (same Bloom-prefilter + exact-anti path as link
-            # candidates) so seen stays duplicate-free.
+            # Extras come only from chains that yielded content
+            # (``extracted``): a chain ending in a fetch-failure stub
+            # leaves its target unseen so a direct link later records a
+            # doc row for it. Deduped against the WHOLE current frontier
+            # (scheduled + deferred — a target still queued behind the
+            # politeness budget enters seen via `scheduled` when its turn
+            # comes, not twice) and the committed seen table (same
+            # Bloom-prefilter + exact-anti path as link candidates) so
+            # seen stays duplicate-free.
             extras = (
-                allowed.filter(F.col("eff_url") != F.col("url"))
+                extracted.filter(F.col("eff_url") != F.col("url"))
                 .select(F.col("eff_url").alias("url"))
                 .distinct()
-                .join(scheduled.select("url"), "url", "left_anti")
+                .join(frontier.select("url"), "url", "left_anti")
             )
             new_seen = new_seen.unionByName(
                 new_urls(extras, seen, self.bloom, "url")

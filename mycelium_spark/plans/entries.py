@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
-from ..operators import clusters, dedup, index, quality, redirects, similarity
+from ..operators import clusters, decontam, dedup, index, quality, redirects, similarity
 from ..functions.robots import parse_robots
 
 
@@ -699,19 +699,33 @@ def dedup_corpus_q(spark, sf_dir):
     )
     return clusters.dedup_corpus(docs, cl).select("doc_id")
 
+# Benchmark-decontamination fixture split (also used standalone below):
+# eval set = every 17th doc, train = the rest.
+_DECONTAM_EVAL = "doc_id % 17 = 0"
+
 # The full training-data pipeline COMPOSED end-to-end in one verified
-# query — quality gate (Gopher rules) ∧ repetition gate → exact-substring
-# span removal over the surviving corpus (df counted among survivors) →
-# exact dedup on the CLEANED text (min-id survivor per identical result).
-# The oracle nests the same four SQL builders; the driver's value-hash
-# compare therefore verifies the stage COMPOSITION, not just each stage.
+# query — quality gate (Gopher rules) ∧ repetition gate ∧ benchmark
+# decontamination (13-gram overlap vs the held-out eval split; eval docs
+# themselves drop by 100% self-overlap) → exact-substring span removal
+# over the surviving corpus (df counted among survivors) → exact dedup on
+# the CLEANED text (min-id survivor per identical result). The oracle
+# nests the same five SQL builders; the driver's value-hash compare
+# therefore verifies the stage COMPOSITION, not just each stage. The
+# Spark side runs the scan-shared staged plan (quality.clean_gate): all
+# 13 per-row rules in one projection over one scan, n-gram stages off a
+# localCheckpoint of the survivors — same keep set, ~11 fewer source
+# scans.
 @register(
     "clean_corpus",
     f"""
 WITH keptids AS (
   SELECT g.doc_id FROM ({quality.gopher_rules_sql()}) g
   JOIN ({quality.repetition_filter_sql('documents')}) r ON g.doc_id = r.doc_id
-  WHERE g.keep AND r.keep
+  JOIN ({decontam.decontaminate_sql(13, 0.05,
+         source='documents',
+         eval_source=f'(SELECT * FROM documents WHERE {_DECONTAM_EVAL})')}) dc
+    ON g.doc_id = dc.doc_id
+  WHERE g.keep AND r.keep AND dc.keep
 ), keptdocs AS (
   SELECT d.doc_id, d.text FROM documents d JOIN keptids k ON d.doc_id = k.doc_id
 ), cleaned AS ({dedup.remove_repeated_spans_sql(5, 2, 'keptdocs')})
@@ -722,9 +736,16 @@ GROUP BY clean_md5
 )
 def clean_corpus_q(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    g = quality.gopher_rules(docs).filter("keep").select("doc_id")
-    r = quality.repetition_filter(docs).filter("keep").select("doc_id")
-    kept = docs.join(g, "doc_id").join(r, "doc_id")
+    base = quality.clean_gate(docs)  # (doc_id, text), quality ∧ repetition
+    # decontamination verdict is a pure per-doc predicate vs the eval set,
+    # so gating it on the (smaller) survivor set gives the same keep set
+    # as the oracle's AND over the full corpus
+    dk = (
+        decontam.decontaminate(base, docs.filter(_DECONTAM_EVAL), 13, 0.05)
+        .filter("keep")
+        .select("doc_id")
+    )
+    kept = base.join(dk, "doc_id")
     cleaned = dedup.remove_repeated_spans(kept, 5, 2)
     hashed = cleaned.select(
         "doc_id", F.md5(F.col("clean_text").cast("binary")).alias("clean_md5")
@@ -920,6 +941,30 @@ def repetition_filter_q(spark, sf_dir):
         "doc_id", f"{_REP_CONSTRUCT} AS text"
     )
     return quality.repetition_filter(docs)
+
+
+# Benchmark decontamination (Brown et al. 2020 App. C; Rae et al. 2021
+# §A.2): eval set = every 17th fixture doc, train = the rest; at n=13 the
+# planted dup pairs straddling the split are the contaminated docs, so
+# both keep branches populate (sf0.01: 454 keep / 2 drop / 14 short-doc
+# zero-gram keeps).
+@register(
+    "decontaminate",
+    decontam.decontaminate_sql(
+        13,
+        0.05,
+        source=f"(SELECT * FROM documents WHERE NOT ({_DECONTAM_EVAL}))",
+        eval_source=f"(SELECT * FROM documents WHERE {_DECONTAM_EVAL})",
+    ),
+)
+def decontaminate_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return decontam.decontaminate(
+        docs.filter(f"NOT ({_DECONTAM_EVAL})"),
+        docs.filter(_DECONTAM_EVAL),
+        13,
+        0.05,
+    )
 
 
 register("quality_score", quality.quality_features_sql())(

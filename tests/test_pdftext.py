@@ -242,3 +242,61 @@ def test_type0_without_tounicode_literal_cids_not_leaked():
     # ...but other real text in the doc still extracts (partial doc)
     c2 = b"BT /F9 12 Tf (\x00H) Tj /F1 12 Tf (visible) Tj ET"
     assert pdf_extract_text(_pdf(c2, extra=extra)) == "visible\n"
+
+
+# ---- round-5 additions: /ObjStm object streams ----
+
+def _objstm_pdf(content: bytes, flate_stm: bool = True, extra_payload: bytes = b"") -> bytes:
+    """Font dict + /Font resource dict live INSIDE a compressed /ObjStm
+    (the modern-writer layout); the ToUnicode CMap stays a regular stream
+    object (streams may not nest in an ObjStm)."""
+    bodies = [
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake"
+            b" /Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        (7, b"<< /Resources << /Font << /F9 5 0 R >> >> >>"),
+    ]
+    payload = b""
+    offs = []
+    for num, body in bodies:
+        offs.append((num, len(payload)))
+        payload += body + b"\n"
+    payload += extra_payload
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offs) + b"\n"
+    first = len(header)
+    stm = header + payload
+    data = zlib.compress(stm) if flate_stm else stm
+    filt = b" /Filter /FlateDecode" if flate_stm else b""
+    extra = (
+        b"8 0 obj << /Type /ObjStm /N 2 /First " + str(first).encode() + filt
+        + b" /Length " + str(len(data)).encode() + b" >>\n"
+        b"stream\n" + data + b"\nendstream\nendobj\n"
+        b"6 0 obj << /Length " + str(len(_CMAP)).encode() + b" >>\n"
+        b"stream\n" + _CMAP + b"\nendstream\nendobj\n"
+    )
+    return _pdf(content, extra=extra)
+
+
+def test_objstm_type0_text_extracts():
+    # the round-4 gap: font + resources only reachable through the ObjStm
+    c = b"BT /F9 12 Tf <00480065006C006C006F> Tj ET"
+    assert pdf_extract_text(_objstm_pdf(c)) == "Hello\n"
+
+
+def test_objstm_uncompressed_variant():
+    c = b"BT /F9 12 Tf <0048> Tj ET"
+    assert pdf_extract_text(_objstm_pdf(c, flate_stm=False)) == "H\n"
+
+
+def test_objstm_payload_is_not_page_text():
+    # a Tj-shaped string inside the ObjStm payload must never leak into
+    # the extracted text (the page-text pass skips /ObjStm streams)
+    c = b"BT (real) Tj ET"
+    out = pdf_extract_text(_objstm_pdf(c, extra_payload=b"9 0: (leak) Tj\n"))
+    assert out == "real\n"
+
+
+def test_objstm_encrypted_still_415():
+    enc = _objstm_pdf(b"BT /F9 12 Tf <0048> Tj ET").replace(
+        b"1 0 obj <<", b"1 0 obj << /Encrypt 9 0 R"
+    )
+    assert pdf_extract_text(enc) is None
