@@ -262,7 +262,17 @@ class CrawlEngine:
         (availableNow micro-batches, checkpointed exactly-once per batch),
         then drain the frontier with batch rounds. Re-invoking after new
         files appear continues from the checkpoint — the streaming
-        ingester feeds the deterministic batch engine."""
+        ingester feeds the deterministic batch engine.
+
+        availableNow queries keep their trigger thread alive for tens of
+        seconds after the last micro-batch commits (and an active query
+        slows the subsequent batch rounds), so instead of waiting out
+        ``awaitTermination`` we poll the query's own progress: once at
+        least one micro-batch has run and the trigger has been idle with
+        no data available for ~3 s, every seed file is committed
+        (foreachBatch is synchronous) and the query is stopped early."""
+        import time as _time
+
         from ..streaming.seed_stream import seed_stream
 
         q = seed_stream(
@@ -270,7 +280,23 @@ class CrawlEngine:
             lambda batch_df, batch_id: self.add_seeds(batch_df),
             checkpoint_dir, trigger_once=True,
         )
-        q.awaitTermination(timeout_sec)
+        deadline = _time.time() + timeout_sec
+        n_progress = 0
+        idle = 0
+        while q.isActive and _time.time() < deadline:
+            cur = len(q.recentProgress)
+            st = q.status or {}
+            if cur > n_progress:
+                n_progress, idle = cur, 0
+            elif n_progress > 0 and not st.get("isTriggerActive", False) and not st.get(
+                "isDataAvailable", False
+            ):
+                idle += 1
+            if n_progress > 0 and idle >= 6:
+                break
+            _time.sleep(0.5)
+        if q.isActive:
+            q.stop()
         return self.run(max_rounds=max_rounds)
 
     @property

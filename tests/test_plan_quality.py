@@ -123,3 +123,13 @@ def test_redirect_resolver_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval-shingle side is benchmark-suite-sized — it must broadcast
+    into the gram join (no shuffle of the exploded corpus grams on
+    gram_h), and the per-doc counts must partial-aggregate map-side."""
+    _, plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final per-doc counts

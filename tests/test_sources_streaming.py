@@ -202,3 +202,50 @@ def test_run_streaming_with_redirects(spark, tmp_path):
     seen = [r["url"] for r in eng.cat.read("seen").collect()]
     assert len(seen) == len(set(seen))
     assert synth.url_of(7) in seen and d7["eff_url"] in seen
+
+
+def test_run_streaming_two_waves_with_redirects(spark, tmp_path):
+    """Two-wave run_streaming resume over the with_redirects corpus
+    (ROADMAP r4 #5): wave 2 resumes from the checkpoint, ingests only the
+    new seed file, resolves a 2-hop chain (64→83→58), and a DIRECT seed
+    of wave-1's redirect target is deduped against the seen set — never
+    refetched, no doc row keyed by it."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.plans.crawl import CrawlEngine
+    from mycelium_spark.sources import synth
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    n = 120
+    schema = ("url string, warc_ts timestamp, html binary, text string,"
+              " lang string, redirect_to string")
+    pages = spark.createDataFrame(
+        synth.pages_pdf(range(n), n, with_redirects=True), schema
+    ).cache()
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    with open(seed_dir / "s1.txt", "w") as f:
+        for i in (7, 1):  # 7 redirects to 38 (content row)
+            f.write(synth.url_of(i) + "\n")
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), pages, per_host_budget=100,
+        n_buckets=4, bloom_bits=1 << 14,
+    )
+    eng.run_streaming(str(seed_dir), str(tmp_path / "ckpt"), max_rounds=1)
+    docs1 = {r["url"]: r for r in eng.cat.read("docs").collect()}
+    assert docs1[synth.url_of(7)]["eff_url"] == synth.url_of(38)
+    seen1 = {r["url"] for r in eng.cat.read("seen").collect()}
+    assert synth.url_of(38) in seen1  # target entered seen via extras
+
+    # wave 2: only s2.txt is ingested (checkpoint skips s1.txt); seeds a
+    # 2-hop chain head and the ALREADY-SEEN wave-1 target directly
+    with open(seed_dir / "s2.txt", "w") as f:
+        f.write(synth.url_of(64) + "\n")
+        f.write(synth.url_of(38) + "\n")
+    eng.run_streaming(str(seed_dir), str(tmp_path / "ckpt"), max_rounds=1)
+    docs = eng.cat.read("docs")
+    assert docs.filter(F.col("url") == synth.url_of(38)).count() == 0
+    d64 = {r["url"]: r for r in docs.collect()}[synth.url_of(64)]
+    assert d64["eff_url"] == synth.url_of(58) and d64["curl_code"] == 0
+    seen = eng.cat.read("seen")
+    assert seen.count() == seen.select("url").distinct().count()
