@@ -617,3 +617,83 @@ def clean_gate(
     )
     rep_keep = repetition_filter(base, text_col, id_col).filter("keep").select(id_col)
     return base.join(rep_keep, id_col)
+
+
+# ------------------------------------------------ C4-style filters --------
+# The line/document cleaning rules of C4 (Raffel et al. 2020, "Exploring
+# the Limits of Transfer Learning", §2.2) — the other canonical web-text
+# cleaning convention alongside the Gopher rules. Conventions (mirrored
+# exactly in the SQL twin):
+# * a line is RETAINED iff it ends in a terminal punctuation mark
+#   (. ! ? or closing double-quote), contains at least 5 whitespace
+#   words, and does not contain the word "javascript" (case-insensitive);
+# * the DOCUMENT is dropped if the original text contains "{" (code
+#   placeholder), contains "lorem ipsum" (case-insensitive), or the
+#   line-cleaned text has fewer than 3 sentences — sentence count is the
+#   number of [.!?] characters in the cleaned text (a deterministic
+#   stand-in for the paper's sentence tokenizer);
+# * first failing rule is named, gopher_rules-style: curly_brace →
+#   lorem_ipsum → too_few_sentences.
+# Everything is a per-row JVM expression: no shuffle, trivially
+# partition-parallel at any corpus size.
+_C4_LINE_KEEP = (
+    "l -> l rlike '[.!?\"]$' "
+    "AND size(filter(split(l, ' '), t -> t != '')) >= 5 "
+    "AND NOT lower(l) LIKE '%javascript%'"
+)
+
+
+def c4_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, keep, fail_reason, clean_text, n_lines, n_lines_kept)."""
+    lines = f"split({text_col}, '\\n')"
+    kept = f"filter({lines}, {_C4_LINE_KEEP})"
+    clean = f"array_join({kept}, '\\n')"
+    n_sent = F.expr(f"length({clean}) - length(regexp_replace({clean}, '[.!?]', ''))")
+    reason = (
+        F.when(F.col(text_col).contains("{"), "curly_brace")
+        .when(F.lower(F.col(text_col)).contains("lorem ipsum"), "lorem_ipsum")
+        .when(n_sent < 3, "too_few_sentences")
+    )
+    return docs.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+        F.expr(clean).alias("clean_text"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_lines_kept"),
+    )
+
+
+def c4_filters_sql(source: str = "documents") -> str:
+    line_keep = (
+        "l -> regexp_matches(l, '[.!?\"]$') "
+        "AND len(list_filter(string_split(l, ' '), t -> t != '')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), {line_keep}) AS kept
+  FROM {source}
+), c AS (
+  SELECT doc_id, text, lines, kept,
+         -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM t
+), r AS (
+  SELECT doc_id, clean_text, lines, kept,
+         CASE WHEN contains(text, '{{') THEN 'curly_brace'
+              WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+              WHEN length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) < 3
+                THEN 'too_few_sentences'
+         END AS fail_reason
+  FROM c
+)
+SELECT doc_id, fail_reason IS NULL AS keep, fail_reason, clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept
+FROM r
+"""

@@ -967,6 +967,32 @@ def decontaminate_q(spark, sf_dir):
     )
 
 
+# C4 line/document filters (Raffel et al. 2020 §2.2): the driver docs
+# have no line structure or punctuation, so line shapes are synthesized
+# by an engine-identical SQL fragment exercising every branch — clean
+# multi-sentence docs, curly-brace docs, lorem-ipsum docs, punctuation-
+# less docs, and mixed docs where short/javascript lines drop but the doc
+# survives on its remaining 3 sentences.
+_C4_CONSTRUCT = """CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN substr(text, 1, 40) || '.' || chr(10) || substr(text, 41, 40) || '.' || chr(10) || substr(text, 81, 40) || '.' || chr(10) || substr(text, 121, 40) || '.'
+    WHEN 1 THEN substr(text, 1, 40) || ' {' || chr(10) || substr(text, 41, 40) || '.'
+    WHEN 2 THEN 'Lorem Ipsum dolor sit amet consectetur. ' || substr(text, 1, 60) || '.'
+    WHEN 3 THEN substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+    ELSE substr(text, 1, 40) || '.' || chr(10) || 'uses JavaScript here today.' || chr(10) || substr(text, 41, 40) || '!' || chr(10) || 'a b c d?' || chr(10) || substr(text, 81, 40) || '?'
+  END"""
+
+
+@register(
+    "c4_clean",
+    quality.c4_filters_sql(f"(SELECT doc_id, {_C4_CONSTRUCT} AS text FROM documents)"),
+)
+def c4_clean_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_C4_CONSTRUCT} AS text"
+    )
+    return quality.c4_filters(docs)
+
+
 register("quality_score", quality.quality_features_sql())(
     lambda spark, sf_dir: quality.quality_features(_read(spark, sf_dir, "documents"))
 )
