@@ -20,7 +20,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
-from ..operators import clusters, decontam, dedup, index, quality, redirects, similarity
+from ..operators import (
+    clusters,
+    decontam,
+    dedup,
+    index,
+    pii,
+    quality,
+    redirects,
+    sampling,
+    similarity,
+)
 from ..functions.robots import parse_robots
 
 
@@ -992,6 +1002,40 @@ def c4_clean_q(spark, sf_dir):
     )
     return quality.c4_filters(docs)
 
+
+# PII redaction (ROOTS-style regex scrub): fixture docs carry no PII, so
+# emails / IPv4s / phone runs are planted by an engine-identical SQL
+# fragment; branch 0 pins the no-op path (clean docs pass through
+# byte-identical with zero counts).
+_PII_CONSTRUCT = """CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN text
+    WHEN 1 THEN substr(text, 1, 50) || ' contact alice.smith+x@mail-example.co.uk soon ' || substr(text, 51, 50)
+    WHEN 2 THEN 'server at 10.0.255.7 and 192.168.1.254. ' || substr(text, 1, 60)
+    ELSE substr(text, 1, 40) || ' call +1(555)123-4567 or 555-867-5309 now'
+  END"""
+
+
+@register(
+    "pii_scrub",
+    pii.pii_scrub_sql(f"(SELECT doc_id, {_PII_CONSTRUCT} AS text FROM documents)"),
+)
+def pii_scrub_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PII_CONSTRUCT} AS text"
+    )
+    return pii.pii_scrub(docs)
+
+
+# Token-budget sampling (data-mixing stage): 13k of sf0.01's 27.2k total
+# tokens → roughly half the corpus survives, so the boundary and both
+# keep/drop branches are substantive. The Spark side runs the two-phase
+# distributed prefix sum (no single-reducer window); the oracle is the
+# equivalent global window.
+register("token_budget_sample", sampling.sample_to_token_budget_sql(13_000))(
+    lambda spark, sf_dir: sampling.sample_to_token_budget(
+        _read(spark, sf_dir, "documents"), 13_000
+    )
+)
 
 register("quality_score", quality.quality_features_sql())(
     lambda spark, sf_dir: quality.quality_features(_read(spark, sf_dir, "documents"))
