@@ -29,14 +29,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sample_to_token_budget(
+def cumulative_tokens(
     docs: DataFrame,
-    budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """→ (doc_id, n_tokens, cum_tokens) for the kept greedy prefix:
-    rows whose cumulative token count STARTS below the budget."""
+    """→ (doc_id, n_tokens, cum_tokens) over the md5-keyed global order,
+    computed with the two-phase distributed prefix sum (bit-identical to
+    a global ordered window at any partitioning — pinned in
+    tests/test_sampling.py). Shared by token-budget sampling and
+    sequence packing."""
     toks = f"size(filter(split({text_col}, ' '), t -> t != ''))"
     t = docs.select(
         F.col(id_col),
@@ -50,12 +52,24 @@ def sample_to_token_budget(
         acc += row["_t"]
     off = t.sparkSession.createDataFrame(offsets, "_b string, _off long")
     w = Window.partitionBy("_b").orderBy("_h", id_col)
-    out = (
+    return (
         t.join(F.broadcast(off), "_b")
         .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_off"))
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(id_col, "n_tokens", "cum_tokens")
     )
-    return out.select(id_col, "n_tokens", "cum_tokens")
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, cum_tokens) for the kept greedy prefix:
+    rows whose cumulative token count STARTS below the budget."""
+    return cumulative_tokens(docs, text_col, id_col).filter(
+        F.col("cum_tokens") - F.col("n_tokens") < budget
+    )
 
 
 def sample_to_token_budget_sql(budget: int, source: str = "documents") -> str:

@@ -25,6 +25,7 @@ from ..operators import (
     decontam,
     dedup,
     index,
+    packing,
     pii,
     quality,
     redirects,
@@ -1034,6 +1035,16 @@ def pii_scrub_q(spark, sf_dir):
 register("token_budget_sample", sampling.sample_to_token_budget_sql(13_000))(
     lambda spark, sf_dir: sampling.sample_to_token_budget(
         _read(spark, sf_dir, "documents"), 13_000
+    )
+)
+
+# Sequence packing (concat-and-chunk into 256-token training windows):
+# sf0.01's docs average ~54 tokens, so most chunks hold several whole
+# docs and every ~5th doc straddles a boundary — both the single-piece
+# and the split-doc branches are substantive.
+register("sequence_pack", packing.pack_sequences_sql(256))(
+    lambda spark, sf_dir: packing.pack_sequences(
+        _read(spark, sf_dir, "documents"), 256
     )
 )
 
