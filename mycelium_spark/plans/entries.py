@@ -21,16 +21,20 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
 from ..operators import (
+    classifier,
     clusters,
     decontam,
     dedup,
     index,
+    linkgraph,
+    lm,
     packing,
     pii,
     quality,
     redirects,
     sampling,
     similarity,
+    urlfilter,
 )
 from ..functions.robots import parse_robots
 
@@ -1037,6 +1041,82 @@ register("token_budget_sample", sampling.sample_to_token_budget_sql(13_000))(
         _read(spark, sf_dir, "documents"), 13_000
     )
 )
+
+# PageRank host scoring (crawl prioritization off the S10 link stream):
+# the fixture tables carry no link graph, so a deterministic 97-host one
+# is synthesized by an engine-identical edge fragment — every host gets
+# out-edges (no danglings; the leak path is pinned in test_linkgraph),
+# ~3 distinct targets per host, a few self-loops.
+_PR_EDGES = (
+    "SELECT DISTINCT doc_id % 97 AS src, "
+    "((doc_id % 97) * 31 + (doc_id % 3) * 7 + 1) % 97 AS dst FROM documents"
+)
+
+
+@register("pagerank_hosts", linkgraph.pagerank_sql(_PR_EDGES))
+def pagerank_hosts_q(spark, sf_dir):
+    edges = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 97 AS src",
+        "((doc_id % 97) * 31 + (doc_id % 3) * 7 + 1) % 97 AS dst",
+    )
+    return linkgraph.pagerank(edges)
+
+
+# fastText-style classifier gate (Joulin et al. 2016; the DCLM/LLaMA
+# quality-filter stage): hashing-trick featurizer + broadcast weight
+# table + exact-integer logit gate. Weights are the documented
+# deterministic stand-in (no model artifacts ship here); a trained
+# export is a drop-in (bucket, weight_milli) table.
+@register("classifier_filter", classifier.classifier_score_sql())
+def classifier_filter_q(spark, sf_dir):
+    return classifier.classifier_score(_read(spark, sf_dir, "documents"))
+
+
+# URL filtering (RefinedWeb §G.1): constructed URLs exercise all four
+# branches — exact-domain block (src3), subdomain block (ads.src3,
+# cdn.media.src4 via media.src4, tracker), keyword drop (/casino wt 3,
+# /poker-pills wt 4), and clean keeps. Engine-identical constructor.
+_URLF_HOST = (
+    "CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'src0.example' "
+    "WHEN 1 THEN 'ads.src3.example' WHEN 2 THEN 'src2.example' "
+    "WHEN 3 THEN 'src3.example' WHEN 4 THEN 'cdn.media.src4.example' "
+    "WHEN 5 THEN 'src5.example' ELSE 'tracker.example' END"
+)
+_URLF_BLOCK = ("src3.example", "media.src4.example", "tracker.example")
+
+
+def _urlf_url(str_t: str) -> str:
+    return (
+        f"'http://' || {_URLF_HOST} || '/p' || CAST(doc_id AS {str_t}) || "
+        "CASE WHEN doc_id % 11 = 0 THEN '/casino' "
+        "WHEN doc_id % 13 = 0 THEN '/poker-pills' ELSE '' END || '.html'"
+    )
+
+
+@register(
+    "url_filter",
+    urlfilter.url_filter_sql(
+        f"SELECT doc_id, {_urlf_url('VARCHAR')} AS url FROM documents",
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{d}')" for d in _URLF_BLOCK)
+        + ") AS t(domain)",
+    ),
+)
+def url_filter_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"{_urlf_url('STRING')} AS url")
+    block = spark.createDataFrame([(d,) for d in _URLF_BLOCK], "domain string")
+    return urlfilter.url_filter(urls, block)
+
+
+# CCNet-style perplexity filter: unigram LM trained on the doc_id%5==0
+# slice scores every doc (Laplace-smoothed, OOV branch real for the 4/5
+# held-out docs); keep gate at the ~80th-pct threshold so both branches
+# populate. Full recipe + determinism discipline in operators/lm.py.
+@register("perplexity_filter", lm.unigram_nll_sql())
+def perplexity_filter_q(spark, sf_dir):
+    return lm.unigram_nll(_read(spark, sf_dir, "documents"))
+
 
 # Sequence packing (concat-and-chunk into 256-token training windows):
 # sf0.01's docs average ~54 tokens, so most chunks hold several whole
