@@ -337,6 +337,46 @@ def assign_seq_job(spark, data_dir: str, n_rows: int, legacy: bool = False) -> d
             "rows_per_sec": round((int(n) + 1) / wall, 1)}
 
 
+def warc_io_job(spark, data_dir: str, out_dir: str, n_files: int = 64) -> dict:
+    """Archived-crawl I/O at page scale: WET sink (JVM framing, one gzip
+    member per record, one file per partition) over the full pages
+    corpus, then the read path (binaryFile scan → mapInPandas framing
+    parse) back over the written files — write and read timed
+    separately, byte totals cross-checked."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.sources import warc as _warc
+
+    pages = spark.read.parquet(f"{data_dir}/pages").select("url", "text")
+    t0 = time.time()
+    manifest = _warc.write_wet(pages, out_dir, n_files=n_files)
+    w_wall = time.time() - t0
+    n_written = sum(m["n_records"] for m in manifest)
+    gz_bytes = sum(m["n_bytes"] for m in manifest)
+    t0 = time.time()
+    row = (
+        _warc.read_warc(spark, out_dir + "/*.warc.gz")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("content_length").alias("payload_bytes"),
+            F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias("bad"),
+        )
+        .collect()[0]
+    )
+    r_wall = time.time() - t0
+    assert int(row["n"]) == n_written and int(row["bad"]) == 0
+    return {
+        "docs": n_written,
+        "files": n_files,
+        "gz_bytes": gz_bytes,
+        "payload_bytes": int(row["payload_bytes"]),
+        "write_sec": round(w_wall, 3),
+        "write_docs_per_sec": round(n_written / w_wall, 1),
+        "read_sec": round(r_wall, 3),
+        "read_docs_per_sec": round(n_written / r_wall, 1),
+    }
+
+
 def extract_job(spark, data_dir: str) -> dict:
     """The round's fetch+extract stage: html_lex over Arrow batches."""
     from pyspark.sql import functions as F
@@ -538,6 +578,9 @@ def main() -> None:
                     }
                     result["dup_clusters_scale"] = _one_shot(cluster_job, s)
                     result["redirect_resolve_scale"] = _one_shot(redirect_job, s)
+                    result["warc_io_scale"] = _one_shot(
+                        warc_io_job, s, tmp, f"{tmp}/wet_out"
+                    )
                 s.stop()
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)

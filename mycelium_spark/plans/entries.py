@@ -25,6 +25,7 @@ from ..operators import (
     clusters,
     decontam,
     dedup,
+    dsir,
     index,
     linkgraph,
     lm,
@@ -37,6 +38,7 @@ from ..operators import (
     urlfilter,
 )
 from ..functions.robots import parse_robots
+from ..sources import warc
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1041,6 +1043,188 @@ register("token_budget_sample", sampling.sample_to_token_budget_sql(13_000))(
         _read(spark, sf_dir, "documents"), 13_000
     )
 )
+
+# WARC/WET ingestion (the Common Crawl input path): docs are framed
+# into uncompressed WET files (10 records each, CRLF framing,
+# Content-Length = octet_length) ON THE SPARK SIDE with Python-built
+# literals (SQL '\r\n' escape semantics differ between engines), then
+# parsed back by the REAL mapInPandas parser; the oracle is the closed
+# form of what a correct parser must recover — URI, type, byte length,
+# byte-exact payload, in-file record order.
+_WARC_FILES = 50
+
+
+@register(
+    "warc_roundtrip",
+    f"""
+    SELECT CAST(strlen(text) AS BIGINT) AS content_length,
+           'mem://w' || CAST(doc_id % {_WARC_FILES} AS VARCHAR) AS path,
+           text AS payload_text,
+           CAST(row_number() OVER (PARTITION BY doc_id % {_WARC_FILES}
+                                   ORDER BY doc_id) - 1 AS BIGINT) AS rec_index,
+           'http://w.example/d' || CAST(doc_id AS VARCHAR) AS target_uri,
+           false AS truncated,
+           'conversion' AS warc_type
+    FROM documents
+    """,
+)
+def warc_roundtrip_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    rec = warc.wet_frame_expr(
+        F.concat(F.lit("http://w.example/d"), F.col("doc_id").cast("string")),
+        F.col("text"),
+    )
+    files = (
+        docs.select((F.col("doc_id") % _WARC_FILES).alias("_g"), "doc_id", rec.alias("_rec"))
+        .groupBy("_g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "_rec"))),
+                    lambda x: x["_rec"],
+                ),
+                "",
+            ).alias("_content")
+        )
+        .select(
+            F.concat(F.lit("mem://w"), F.col("_g").cast("string")).alias("path"),
+            F.col("_content").cast("binary").alias("content"),
+        )
+    )
+    out = warc.records_from_files(files)
+    return out.select(
+        "content_length",
+        "path",
+        F.col("payload").cast("string").alias("payload_text"),
+        "rec_index",
+        "target_uri",
+        "truncated",
+        "warc_type",
+    )
+
+
+# DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+# buckets, target slice vs raw corpus Laplace distributions, per-doc
+# decimal log-ratio sums, deterministic hash-Gumbel top-k selection.
+register("dsir_sample", dsir.dsir_sample_sql())(
+    lambda spark, sf_dir: dsir.dsir_sample(_read(spark, sf_dir, "documents"))
+)
+
+
+# HTTP envelope split (WARC `response` records): payloads are built
+# with a real HTTP/1.1 envelope (status varying by doc, one in 13 with
+# no envelope at all — the WET passthrough branch), split by the pure
+# JVM byte-position expr (latin-1 decode → instr → binary substring);
+# the oracle states the closed form, CRLFs via chr() (string-escape
+# semantics differ between engines).
+@register(
+    "http_envelope_split",
+    """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE 'HTTP/1.1 ' || CAST(200 + (doc_id % 3) * 100 AS VARCHAR)
+                     || ' S' || chr(13) || chr(10) || 'Content-Type: text/html'
+                     || chr(13) || chr(10) || 'X-Doc: ' || CAST(doc_id AS VARCHAR)
+           END AS http_headers,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE CAST(200 + (doc_id % 3) * 100 AS INTEGER)
+           END AS http_status,
+           doc_id,
+           text AS body_text
+    FROM documents
+    """,
+)
+def http_envelope_split_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    st = (F.lit(200) + (F.col("doc_id") % 3) * 100).cast("string")
+    env = F.concat(
+        F.lit("HTTP/1.1 "), st,
+        F.lit(" S\r\nContent-Type: text/html\r\nX-Doc: "),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    payload = F.when(F.col("doc_id") % 13 == 0, F.col("text")).otherwise(
+        F.concat(env, F.col("text"))
+    ).cast("binary")
+    r = warc.http_response_expr(payload)
+    return docs.select(
+        r["http_headers"].alias("http_headers"),
+        r["http_status"].alias("http_status"),
+        "doc_id",
+        r["body"].cast("string").alias("body_text"),
+    )
+
+
+# CDX index selection (the Common Crawl pre-fetch path): CDXJ lines are
+# BUILT on the Spark side from documents — urlkey via the REAL
+# surt_key_expr over adversarial URL spellings (www. prefix, :80 port,
+# unsorted query), metadata as a concat'd JSON block — then parsed back
+# by the real from_json framing and run through select_members (status/
+# mime gate + earliest-capture-per-digest dedup; the fixture's planted
+# dup pairs share text → same md5 digest → the dedup branch is live).
+# The oracle is the closed form: SURT of these URLs is statically known,
+# and the dedup is a window the SQL twin states directly.
+@register(
+    "cdx_select",
+    """
+    WITH caps AS (
+      SELECT doc_id,
+             'org,example,h' || CAST(doc_id % 97 AS VARCHAR) || ')/p'
+               || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS urlkey,
+             CAST(20260101000000 + doc_id % 3 AS VARCHAR) AS ts,
+             'http://www.h' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example.org:80/p' || CAST(doc_id AS VARCHAR)
+               || '?b=2&a=1' AS url,
+             md5(text) AS digest,
+             'seg-' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS filename,
+             CAST(doc_id * 1000 AS BIGINT) AS byte_offset,
+             CAST(strlen(text) AS BIGINT) AS byte_length
+      FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY digest
+                                   ORDER BY ts, urlkey) AS rn
+      FROM caps
+    )
+    SELECT urlkey, url, filename, byte_offset, byte_length, digest
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdx_select_q(spark, sf_dir):
+    from ..sources import cdx
+
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hn = F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+    url = F.concat(
+        F.lit("http://www."), hn, F.lit(".example.org:80/p"), i, F.lit("?b=2&a=1")
+    )
+    status = F.when(F.col("doc_id") % 7 == 0, F.lit("404")).otherwise(F.lit("200"))
+    mime = F.when(F.col("doc_id") % 11 == 0, F.lit("image/png")).otherwise(
+        F.lit("text/html")
+    )
+    line = F.concat(
+        cdx.surt_key_expr(url),
+        F.lit(" "),
+        (F.lit(20260101000000).cast("long") + F.col("doc_id") % 3).cast("string"),
+        F.lit(' {"url": "'), url,
+        F.lit('", "mime": "'), mime,
+        F.lit('", "status": "'), status,
+        F.lit('", "digest": "'), F.md5(F.col("text").cast("binary")),
+        F.lit('", "length": "'), F.octet_length("text").cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 1000).cast("string"),
+        F.lit('", "filename": "seg-'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    lines = docs.select(line.alias("value"))
+    return cdx.select_members(cdx.parse_cdxj(lines)).select(
+        "urlkey",
+        "url",
+        "filename",
+        F.col("offset").alias("byte_offset"),
+        F.col("length").alias("byte_length"),
+        "digest",
+    )
+
 
 # PageRank host scoring (crawl prioritization off the S10 link stream):
 # the fixture tables carry no link graph, so a deterministic 97-host one

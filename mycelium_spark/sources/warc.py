@@ -1,0 +1,327 @@
+"""WARC / WET ingestion: the Common Crawl input path.
+
+The reference fetches the live web (src/crawler/crawler.cc); a 100 TB
+training pipeline instead consumes archived crawls — WARC (ISO 28500)
+response files and their WET text conversions, the Common Crawl
+distribution format. This source reads them distributedly: one archive
+file per task via ``spark.read.format("binaryFile")`` (WARC members are
+not splittable mid-file — the standard layout is many ~1 GiB files, so
+file-level parallelism is the published partitioning), then a
+``mapInPandas`` record parser (binary framing is genuinely imperative:
+gzip member boundaries + Content-Length byte reads — the honest
+Arrow-batched Python path, not a per-row UDF).
+
+Format handled (WARC/1.0 and 1.1):
+
+* record = version line, CRLF header block (``Name: value``, names
+  case-insensitive), empty line, exactly ``Content-Length`` payload
+  bytes, CRLF CRLF;
+* files may be plain concatenations or per-record gzip members
+  (Common Crawl's layout; multi-member streams are re-split with
+  zlib's unused-data loop);
+* WET files are the same framing with ``warcinfo``/``conversion``
+  record types and text payloads.
+
+Malformed tails (truncated final record, missing Content-Length) stop
+the scan for that file and are surfaced in the ``truncated`` flag of
+the last emitted record rather than raising — one corrupt archive must
+not kill a 10k-file read.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SCHEMA = (
+    "path string, rec_index long, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content_length long, "
+    "payload binary, truncated boolean"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenate all gzip members of ``data`` (Common Crawl writes one
+    member per record); raises zlib.error on non-gzip input."""
+    out = []
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        if d.unused_data == rest:  # no progress — corrupt member
+            break
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """Parse one WARC/WET file's bytes into record dicts (RECORD_SCHEMA
+    fields). Transparently gunzips when the file starts with the gzip
+    magic."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    idx = 0
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0 or not data[pos : pos + 5] == b"WARC/":
+            if records:
+                records[-1]["truncated"] = True
+            break
+        lines = data[pos:hdr_end].split(b"\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if records:
+                records[-1]["truncated"] = True
+            break
+        body_start = hdr_end + len(_CRLF2)
+        truncated = body_start + clen > n
+        payload = data[body_start : body_start + clen]
+        records.append(
+            {
+                "path": path,
+                "rec_index": idx,
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date", ""),
+                "content_type": headers.get("content-type", ""),
+                "content_length": clen,
+                "payload": payload,
+                "truncated": truncated,
+            }
+        )
+        idx += 1
+        pos = body_start + clen
+    return records
+
+
+def parse_warc_frames(
+    frames: Iterator[pd.DataFrame], content_col: str = "content", path_col: str = "path"
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (path, content) file rows → record rows."""
+    cols = [
+        "path", "rec_index", "warc_type", "target_uri", "warc_date",
+        "content_type", "content_length", "payload", "truncated",
+    ]
+    for pdf in frames:
+        rows: list[dict] = []
+        for _, r in pdf.iterrows():
+            rows.extend(parse_warc_bytes(bytes(r[content_col]), str(r[path_col])))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def records_from_files(files: DataFrame) -> DataFrame:
+    """(path, content) binary-file rows → WARC record rows."""
+    return files.mapInPandas(parse_warc_frames, RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed WARC/WET read: binaryFile scan (one file per task —
+    the Common Crawl partitioning) → record parse."""
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return records_from_files(files)
+
+
+# --- Ranged member fetch (consumes the CDX fetch plan) -----------------
+
+def fetch_members(plan: DataFrame, base_dir: str = "", n_tasks: int = 0) -> DataFrame:
+    """The cc-index random-access pattern: a fetch plan of
+    ``(filename, offset, length)`` member coordinates (from
+    ``cdx.select_members``) → the referenced WARC records, reading ONLY
+    those byte ranges — each CC member is one gzip stream, so a ranged
+    read of ``length`` bytes at ``offset`` is a complete record.
+
+    Partitioned by filename (one archive's members stay in one task)
+    and offset-sorted within the task so local reads are sequential;
+    at cluster scale the seek/read pair becomes a ranged GET against
+    the object store and the same plan holds. Extra plan columns
+    (urlkey, digest, …) pass through so downstream joins need no
+    re-shuffle. Unreadable members yield a ``truncated`` stub row, not
+    a task failure — one corrupt archive must not kill the job."""
+    extra = [c for c in plan.columns if c not in ("filename", "offset", "length")]
+    out_schema = ", ".join(
+        [f"{c} string" for c in extra]  # plan extras are string-typed keys
+        + [RECORD_SCHEMA]
+    )
+
+    def fetch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = extra + [
+            "path", "rec_index", "warc_type", "target_uri", "warc_date",
+            "content_type", "content_length", "payload", "truncated",
+        ]
+        for pdf in frames:
+            rows: list[dict] = []
+            for fname, grp in pdf.groupby("filename", sort=False):
+                path = os.path.join(base_dir, str(fname)) if base_dir else str(fname)
+                try:
+                    fh = open(path, "rb")
+                except OSError:
+                    fh = None
+                for _, r in grp.sort_values("offset").iterrows():
+                    passthru = {c: r[c] for c in extra}
+                    rec = None
+                    if fh is not None:
+                        try:
+                            fh.seek(int(r["offset"]))
+                            blob = fh.read(int(r["length"]))
+                            parsed = parse_warc_bytes(blob, str(fname))
+                            if parsed and not parsed[0]["truncated"]:
+                                rec = parsed[0]
+                        except (OSError, zlib.error):
+                            rec = None
+                    if rec is None:
+                        rec = {
+                            "path": str(fname), "rec_index": 0, "warc_type": "",
+                            "target_uri": None, "warc_date": "", "content_type": "",
+                            "content_length": 0, "payload": b"", "truncated": True,
+                        }
+                    rec["rec_index"] = 0
+                    rows.append({**passthru, **rec})
+                if fh is not None:
+                    fh.close()
+            yield pd.DataFrame(rows, columns=cols)
+
+    parted = plan.repartition(*( [n_tasks] if n_tasks else [] ), "filename")
+    return parted.sortWithinPartitions("filename", "offset").mapInPandas(
+        fetch, out_schema
+    )
+
+
+# --- HTTP envelope split (WARC ``response`` records) -------------------
+
+def http_response_expr(payload: Column) -> Column:
+    """Split a WARC ``response`` payload (HTTP status line + headers +
+    CRLF CRLF + body) into ``struct(http_status, http_headers, body)``
+    as pure JVM expressions — no Python.
+
+    The byte-position trick: ``decode(payload, 'ISO-8859-1')`` is
+    byte-bijective (every byte → one char), so ``instr`` on the decoded
+    string finds the first CRLF CRLF at its BYTE offset even when the
+    body is multibyte UTF-8, and ``substring`` on the original binary
+    slices the body without transcoding it. The envelope region is
+    ASCII by protocol, so the headers decode losslessly. No envelope
+    (no CRLF CRLF, e.g. a WET conversion payload) → null status/headers
+    and the whole payload as body — callers can pipe WET and WARC
+    through one plan. Status is null unless the status line parses."""
+    s = F.decode(payload, "ISO-8859-1")
+    pos = F.instr(s, "\r\n\r\n")
+    hdr = F.substring(s, F.lit(1), pos - 1)
+    status_s = F.regexp_extract(hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    status = F.when(status_s != "", status_s.cast("int"))
+    body = F.substring(
+        payload, pos + 4, F.octet_length(payload) - pos - F.lit(3)
+    )
+    has = pos > 0
+    return F.struct(
+        F.when(has, status).alias("http_status"),
+        F.when(has, hdr).alias("http_headers"),
+        F.when(has, body).otherwise(payload).alias("body"),
+    )
+
+
+# --- WET writer (the sink half of the roundtrip) -----------------------
+
+def wet_frame_expr(
+    uri: Column,
+    payload: Column,
+    warc_type: str = "conversion",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "text/plain",
+) -> Column:
+    """One framed WET record as a JVM string expression: version line,
+    CRLF headers, Content-Length = payload byte length, payload,
+    CRLF CRLF terminator.  Pure whole-stage-codegen concat — record
+    framing never drops to Python; only file assembly (gzip members)
+    does, in the writer task."""
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: %s\r\nWARC-Target-URI: " % warc_type),
+        uri,
+        F.lit("\r\nWARC-Date: %s\r\nContent-Type: %s\r\nContent-Length: "
+              % (warc_date, content_type)),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    uri_col: str = "url",
+    text_col: str = "text",
+    compress: bool = True,
+) -> list[dict]:
+    """Distributed WET sink: frame each doc (JVM expr), hash-partition
+    into ``n_files`` writer tasks, each task streams its records into one
+    ``part-NNNNN.warc[.gz]`` (one gzip member per record when
+    ``compress`` — the Common Crawl layout, so the file re-splits on
+    read).  One file per Spark partition is the standard non-splittable
+    sink shape (Hadoop OutputFormat semantics); at cluster scale
+    ``out_dir`` is an object-store prefix and each executor writes its
+    own object.  Records are sorted by URI within a file so output is
+    run-to-run deterministic.  Returns the per-file manifest (the only
+    thing collected — ``n_files`` rows)."""
+    from pyspark import TaskContext
+
+    framed = (
+        df.select(
+            F.col(uri_col).alias("_uri"),
+            wet_frame_expr(F.col(uri_col), F.col(text_col)).alias("_frame"),
+        )
+        .repartition(n_files, "_uri")
+        .sortWithinPartitions("_uri")
+    )
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def write_part(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, "part-%05d%s" % (pid, suffix))
+        n_rec = n_bytes = 0
+        with open(path, "wb") as fh:
+            for pdf in frames:
+                for rec in pdf["_frame"]:
+                    raw = rec.encode("utf-8")
+                    blob = gzip.compress(raw) if compress else raw
+                    fh.write(blob)
+                    n_rec += 1
+                    n_bytes += len(blob)
+        if n_rec == 0:
+            os.unlink(path)
+            yield pd.DataFrame(columns=["path", "n_records", "n_bytes"]).astype(
+                {"path": str, "n_records": "int64", "n_bytes": "int64"}
+            )
+        else:
+            yield pd.DataFrame(
+                [{"path": path, "n_records": n_rec, "n_bytes": n_bytes}]
+            )
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = framed.mapInPandas(
+        write_part, "path string, n_records long, n_bytes long"
+    )
+    return [r.asDict() for r in manifest.collect()]
