@@ -27,6 +27,7 @@ from ..operators import (
     dedup,
     dsir,
     index,
+    linededup,
     linkgraph,
     lm,
     packing,
@@ -1101,6 +1102,39 @@ def warc_roundtrip_q(spark, sf_dir):
         "truncated",
         "warc_type",
     )
+
+
+# CCNet line-level dedup (Wenzek et al. 2020 §3.1): fixture docs carry
+# no shared lines, so boilerplate is synthesized by an engine-identical
+# fragment — a global cookie-banner line (one corpus-wide survivor), a
+# group-shared newsletter line (one survivor per 4-doc stride), a blank
+# structural line (bypasses dedup), case/indent variants of the banner
+# (normalization collides them), and the doc's own unique slices. The
+# fixture's planted dup pairs additionally lose every NON-BLANK line in
+# the second doc (it survives on the structural blank alone, clean_text
+# collapsing to the empty paragraph — the doc-drops-out branch itself
+# is pinned in test_linededup, where no blank line shields the doc).
+_LINE_CONSTRUCT = """'Accept cookies to continue'
+ || chr(10) || substr(text, 1, 40)
+ || chr(10) || CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter'
+               ELSE substr(text, 41, 40) END
+ || chr(10) || chr(10)
+ || CASE WHEN doc_id % 3 = 0 THEN '  ACCEPT COOKIES TO CONTINUE '
+         ELSE substr(text, 81, 40) END
+ || chr(10) || substr(text, 121, 40)"""
+
+
+@register(
+    "line_dedup",
+    linededup.dedup_lines_sql(
+        f"(SELECT doc_id, {_LINE_CONSTRUCT} AS text FROM documents)"
+    ),
+)
+def line_dedup_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_LINE_CONSTRUCT} AS text"
+    )
+    return linededup.dedup_lines(docs)
 
 
 # DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
