@@ -25,6 +25,7 @@ from ..operators import (
     clusters,
     decontam,
     dedup,
+    delta,
     dsir,
     index,
     linededup,
@@ -1102,6 +1103,31 @@ def warc_roundtrip_q(spark, sf_dir):
         "truncated",
         "warc_type",
     )
+
+
+# Crawl-snapshot delta: two snapshots are carved from documents by
+# engine-identical predicates — %10==0 docs exist only in the new
+# snapshot (added), %10==9 only in the old (gone), %7==0 get their text
+# rewritten between snapshots (changed), the rest are unchanged — so
+# all four status branches populate at every fixture SF.
+_DELTA_URL = "'http://h' || CAST(doc_id % 97 AS STRING) || '.example/p' || CAST(doc_id AS STRING)"
+_DELTA_OLD = f"(SELECT {_DELTA_URL} AS url, text FROM documents WHERE doc_id % 10 <> 0)"
+_DELTA_NEW = (
+    f"(SELECT {_DELTA_URL} AS url, "
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 9)"
+)
+
+
+@register("crawl_delta", delta.snapshot_delta_sql(_DELTA_OLD, _DELTA_NEW))
+def crawl_delta_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 10 != 0").selectExpr(f"{_DELTA_URL} AS url", "text")
+    new = docs.filter("doc_id % 10 != 9").selectExpr(
+        f"{_DELTA_URL} AS url",
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text",
+    )
+    return delta.snapshot_delta(old, new)
 
 
 # CCNet line-level dedup (Wenzek et al. 2020 §3.1): fixture docs carry

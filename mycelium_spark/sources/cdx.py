@@ -50,7 +50,8 @@ def surt_key_expr(url: Column) -> Column:
     ``org,example)/a/b?a=1&b=2``
 
     Steps (the published canonicalizer's observable behavior):
-    full lowercase; fragment dropped; scheme dropped; leading
+    full lowercase; fragment dropped; scheme dropped; userinfo
+    (``user:pass@``) dropped; leading
     ``www`` / ``www<digits>`` host label dropped; host labels reversed
     and comma-joined; ports 80/443 dropped, others kept (``host:8080``
     → ``org,example:8080)``); empty path → ``/``; query params sorted
@@ -59,8 +60,10 @@ def surt_key_expr(url: Column) -> Column:
     """
     u = F.substring_index(F.lower(url), "#", 1)
     rest = F.regexp_replace(u, r"^https?://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    rest_len_tail = F.substring(rest, F.length(hostport) + 1, 1 << 30)
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    # the published canonicalizer drops userinfo (user:pass@host)
+    hostport = F.substring_index(authority, "@", -1)
+    rest_len_tail = F.substring(rest, F.length(authority) + 1, 1 << 30)
     pq = F.when(rest_len_tail == "", F.lit("/")).when(
         rest_len_tail.startswith("?"), F.concat(F.lit("/"), rest_len_tail)
     ).otherwise(rest_len_tail)

@@ -162,6 +162,12 @@ def fetch_members(plan: DataFrame, base_dir: str = "", n_tasks: int = 0) -> Data
     re-shuffle. Unreadable members yield a ``truncated`` stub row, not
     a task failure — one corrupt archive must not kill the job."""
     extra = [c for c in plan.columns if c not in ("filename", "offset", "length")]
+    clash = {c for c in extra} & {f.split(" ")[0] for f in RECORD_SCHEMA.split(", ")}
+    if clash:
+        raise ValueError(
+            f"plan columns collide with WARC record fields: {sorted(clash)}; "
+            "rename them before fetch_members"
+        )
     out_schema = ", ".join(
         [f"{c} string" for c in extra]  # plan extras are string-typed keys
         + [RECORD_SCHEMA]

@@ -25,6 +25,9 @@ SURT_CASES = [
     ("http://example.org/p#frag?x=1", "org,example)/p"),
     ("http://example.org?a=1", "org,example)/?a=1"),
     ("http://example.org/A/B/C.HTML", "org,example)/a/b/c.html"),
+    # userinfo drops (published canonicalizer behavior)
+    ("http://user:pw@example.org/p", "org,example)/p"),
+    ("http://user@www.example.org:8080/p?b=2&a=1", "org,example:8080)/p?a=1&b=2"),
 ]
 
 

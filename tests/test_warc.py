@@ -215,3 +215,14 @@ def test_cdx_to_text_pipeline(spark, tmp_path):
     assert len(out) == 3
     for r in out:
         assert r["st"] == 200 and r["text"] == texts[r["target_uri"]]
+
+
+def test_fetch_members_rejects_colliding_plan_columns(spark, tmp_path):
+    import pytest
+
+    plan = spark.createDataFrame(
+        [("x", "f.warc.gz", 0, 10)],
+        "payload string, filename string, offset long, length long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        warc.fetch_members(plan, base_dir=str(tmp_path))
