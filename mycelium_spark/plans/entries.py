@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
 from ..operators import (
+    anchors,
     classifier,
     clusters,
     decontam,
@@ -1103,6 +1104,35 @@ def warc_roundtrip_q(spark, sf_dir):
         "truncated",
         "warc_type",
     )
+
+
+# Anchor-text aggregation (Brin & Page 1998 §2.2; the BM25F anchor
+# field): a link stream is synthesized by an engine-identical fragment
+# — ~13 docs point at each of 37 targets with a planted hot phrase
+# ("click here", exercising count ranking) plus per-doc unique slices
+# (exercising the term tie-break); %13 docs self-link and %11 docs
+# carry blank anchors, both dropped at the scan.
+_ANCHOR_LINKS = """(
+  SELECT CASE WHEN doc_id % 13 = 0
+              THEN 'http://t' || CAST(doc_id % 37 AS STRING) || '.example/'
+              ELSE 'http://s' || CAST(doc_id AS STRING) END AS src,
+         'http://t' || CAST(doc_id % 37 AS STRING) || '.example/' AS dst,
+         CASE WHEN doc_id % 11 = 0 THEN ' '
+              ELSE 'Click HERE ' || substr(text, 1, 25) END AS txt
+  FROM documents)"""
+
+
+@register("anchor_terms", anchors.anchor_terms_sql(_ANCHOR_LINKS))
+def anchor_terms_q(spark, sf_dir):
+    links = _read(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN doc_id % 13 = 0 "
+        "THEN 'http://t' || CAST(doc_id % 37 AS STRING) || '.example/' "
+        "ELSE 'http://s' || CAST(doc_id AS STRING) END AS src",
+        "'http://t' || CAST(doc_id % 37 AS STRING) || '.example/' AS dst",
+        "CASE WHEN doc_id % 11 = 0 THEN ' ' "
+        "ELSE 'Click HERE ' || substr(text, 1, 25) END AS txt",
+    )
+    return anchors.anchor_terms(links)
 
 
 # Crawl-snapshot delta: two snapshots are carved from documents by
