@@ -1106,6 +1106,91 @@ def warc_roundtrip_q(spark, sf_dir):
     )
 
 
+# Pipeline removal-rate funnel: the accounting table every published
+# corpus paper ships (RefinedWeb Fig. 2, Gopher A1, C4 §2.2 counts) —
+# five gates evaluated per-doc on the full corpus, counted
+# SEQUENTIALLY (stage i's docs_in = survivors of stages 1..i-1), so
+# each row reads "what stage i removed after everything before it".
+# One pass: five (doc_id, keep) joins → a single map-side-combined
+# global agg → a constant 5-row stack; the oracle nests the same five
+# SQL builders, so the composition is what the value-hash verifies.
+@register(
+    "pipeline_funnel",
+    f"""
+WITH g AS ({{}}), rp AS ({{}}), p AS ({{}}), cf AS ({{}}), dc AS ({{}}),
+v AS (
+  SELECT d.doc_id, g.keep AS k1, rp.keep AS k2, p.keep AS k3,
+         cf.keep AS k4, dc.keep AS k5
+  FROM documents d
+  JOIN g ON d.doc_id = g.doc_id
+  JOIN rp ON d.doc_id = rp.doc_id
+  JOIN p ON d.doc_id = p.doc_id
+  JOIN cf ON d.doc_id = cf.doc_id
+  JOIN dc ON d.doc_id = dc.doc_id
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0,
+         CAST(count(*) FILTER (WHERE k1) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE k1 AND k2) AS BIGINT) AS c2,
+         CAST(count(*) FILTER (WHERE k1 AND k2 AND k3) AS BIGINT) AS c3,
+         CAST(count(*) FILTER (WHERE k1 AND k2 AND k3 AND k4) AS BIGINT) AS c4,
+         CAST(count(*) FILTER (WHERE k1 AND k2 AND k3 AND k4 AND k5) AS BIGINT) AS c5
+  FROM v
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'gopher_quality' AS stage,
+       c0 AS docs_in, c1 AS docs_out, c0 - c1 AS removed FROM a
+UNION ALL SELECT 2, 'repetition', c1, c2, c1 - c2 FROM a
+UNION ALL SELECT 3, 'perplexity', c2, c3, c2 - c3 FROM a
+UNION ALL SELECT 4, 'classifier', c3, c4, c3 - c4 FROM a
+UNION ALL SELECT 5, 'decontaminate', c4, c5, c4 - c5 FROM a
+""".format(
+        quality.gopher_rules_sql(),
+        quality.repetition_filter_sql("documents"),
+        lm.unigram_nll_sql(),
+        classifier.classifier_score_sql(),
+        decontam.decontaminate_sql(
+            13, 0.05, source="documents",
+            eval_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+        ),
+    ),
+)
+def pipeline_funnel_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    ks = [
+        quality.gopher_rules(docs),
+        quality.repetition_filter(docs),
+        lm.unigram_nll(docs),
+        classifier.classifier_score(docs),
+        decontam.decontaminate(docs, docs.filter("doc_id % 17 = 0"), 13, 0.05),
+    ]
+    v = docs.select("doc_id")
+    for i, k in enumerate(ks, 1):
+        v = v.join(k.select("doc_id", F.col("keep").alias(f"k{i}")), "doc_id")
+    conds = []
+    acc = None
+    for i in range(1, 6):
+        acc = F.col(f"k{i}") if acc is None else (acc & F.col(f"k{i}"))
+        conds.append(acc)
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"c{i}")
+            for i, c in enumerate(conds, 1)
+        ],
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "CAST(1 AS BIGINT), 'gopher_quality', c0, c1, "
+        "CAST(2 AS BIGINT), 'repetition',     c1, c2, "
+        "CAST(3 AS BIGINT), 'perplexity',     c2, c3, "
+        "CAST(4 AS BIGINT), 'classifier',     c3, c4, "
+        "CAST(5 AS BIGINT), 'decontaminate',  c4, c5"
+        ") AS (stage_idx, stage, docs_in, docs_out)"
+    ).selectExpr(
+        "stage_idx", "stage", "docs_in", "docs_out",
+        "CAST(docs_in - docs_out AS BIGINT) AS removed",
+    )
+
+
 # Anchor-text aggregation (Brin & Page 1998 §2.2; the BM25F anchor
 # field): a link stream is synthesized by an engine-identical fragment
 # — ~13 docs point at each of 37 targets with a planted hot phrase
