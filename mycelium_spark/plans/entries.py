@@ -41,7 +41,7 @@ from ..operators import (
     urlfilter,
 )
 from ..functions.robots import parse_robots
-from ..sources import warc
+from ..sources import sitemap, warc
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1595,6 +1595,101 @@ def multimodal_features_q(spark, sf_dir):
 register("tf_idf", index.tf_idf_sql())(
     lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))
 )
+
+
+# Sitemap ingestion (sitemaps.org protocol): robots `Sitemap:` lines ->
+# sitemapindex -> urlset entries. Fixture hosts are anchor docs
+# (doc_id % 29 = 0); each advertises an index (two children, one of
+# which is absent for every third anchor — dead-link branch) plus a
+# directly-listed urlset, and one in two also advertises a sitemap no
+# page exists for. Entry fields exercise every parse branch: odd-case
+# directive keys, whitespace-padded <loc>, datetime and garbage
+# <lastmod>, cased <changefreq>, '0.d'/'1.0'/two-digit priorities and
+# priority-absent rows.
+_SM_BASE = "'http://site' || CAST(doc_id AS STRING) || '.test'"
+_SM_ROBOTS = (
+    "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || "
+    f"'sitemap: ' || {_SM_BASE} || '/idx.xml' || chr(10) || "
+    f"'  SiteMap:   ' || {_SM_BASE} || '/direct.xml' || chr(10) || "
+    f"CASE WHEN doc_id % 58 = 0 THEN 'Sitemap: ' || {_SM_BASE} || "
+    "'/missing.xml' || chr(10) ELSE '' END"
+)
+_SM_IDX = (
+    "'<?xml version=\"1.0\"?>' || chr(10) || '<sitemapindex>' || chr(10) || "
+    f"'<sitemap><loc>' || {_SM_BASE} || '/part1.xml</loc><lastmod>2026-0' || "
+    "CAST(doc_id % 9 + 1 AS STRING) || '-15</lastmod></sitemap>' || chr(10) || "
+    f"'<sitemap><loc> ' || {_SM_BASE} || '/part2.xml </loc></sitemap>' || "
+    "chr(10) || '</sitemapindex>'"
+)
+_SM_PART1 = (
+    f"'<urlset>' || chr(10) || '<url><loc>' || {_SM_BASE} || '/p' || "
+    "CAST(doc_id AS STRING) || '/a.html</loc><lastmod>2026-01-0' || "
+    "CAST(doc_id % 9 + 1 AS STRING) || '</lastmod>"
+    "<changefreq>Daily</changefreq><priority>0.' || "
+    "CAST(doc_id % 10 AS STRING) || '</priority></url>' || chr(10) || "
+    f"'<url><loc>' || {_SM_BASE} || '/p' || CAST(doc_id AS STRING) || "
+    "'/b.html</loc><changefreq>weekly</changefreq>"
+    "<priority>1.0</priority></url>' || chr(10) || "
+    f"'<url><loc>' || {_SM_BASE} || '/p' || CAST(doc_id AS STRING) || "
+    "'/c.html</loc><lastmod>yesterday</lastmod></url>' || chr(10) || "
+    "'</urlset>'"
+)
+_SM_PART2 = (
+    f"'<urlset><url><loc>  ' || {_SM_BASE} || '/deep/d' || "
+    "CAST(doc_id AS STRING) || '.html  </loc><priority>0.85</priority>"
+    "</url></urlset>'"
+)
+_SM_DIRECT = (
+    f"'<urlset><url><loc>' || {_SM_BASE} || '/home.html</loc>"
+    "<lastmod>2026-08-0' || CAST(doc_id % 9 + 1 AS STRING) || "
+    "'T10:00:00Z</lastmod><priority>0.5</priority></url>"
+    f"<url><loc>' || {_SM_BASE} || '/about.html</loc></url></urlset>'"
+)
+_SM_ANCHOR = "doc_id % 29 = 0"
+_SM_PART2_PRESENT = f"{_SM_ANCHOR} AND doc_id % 87 <> 0"
+_SM_ROBOTS_SQL = (
+    f"SELECT 'site' || CAST(doc_id AS STRING) || '.test' AS host, "
+    f"{_SM_ROBOTS} AS body FROM documents WHERE {_SM_ANCHOR}"
+)
+_SM_PAGES_SQL = (
+    f"SELECT {_SM_BASE} || '/idx.xml' AS url, {_SM_IDX} AS body "
+    f"FROM documents WHERE {_SM_ANCHOR} "
+    f"UNION ALL SELECT {_SM_BASE} || '/part1.xml', {_SM_PART1} "
+    f"FROM documents WHERE {_SM_ANCHOR} "
+    f"UNION ALL SELECT {_SM_BASE} || '/part2.xml', {_SM_PART2} "
+    f"FROM documents WHERE {_SM_PART2_PRESENT} "
+    f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
+    f"FROM documents WHERE {_SM_ANCHOR}"
+)
+
+
+@register("sitemap_ingest", sitemap.sitemap_seeds_sql(_SM_ROBOTS_SQL, _SM_PAGES_SQL))
+def sitemap_ingest_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    anchors_df = docs.filter(_SM_ANCHOR)
+    robots = anchors_df.selectExpr(
+        "'site' || CAST(doc_id AS STRING) || '.test' AS host",
+        f"{_SM_ROBOTS} AS body",
+    )
+    pages = (
+        anchors_df.selectExpr(f"{_SM_BASE} || '/idx.xml' AS url", f"{_SM_IDX} AS body")
+        .unionAll(
+            anchors_df.selectExpr(
+                f"{_SM_BASE} || '/part1.xml' AS url", f"{_SM_PART1} AS body"
+            )
+        )
+        .unionAll(
+            docs.filter(_SM_PART2_PRESENT).selectExpr(
+                f"{_SM_BASE} || '/part2.xml' AS url", f"{_SM_PART2} AS body"
+            )
+        )
+        .unionAll(
+            anchors_df.selectExpr(
+                f"{_SM_BASE} || '/direct.xml' AS url", f"{_SM_DIRECT} AS body"
+            )
+        )
+    )
+    return sitemap.sitemap_seeds(robots, pages)
 
 
 # ====================================================================
