@@ -38,6 +38,7 @@ from ..operators import (
     redirects,
     sampling,
     similarity,
+    traps,
     urlfilter,
 )
 from ..functions.robots import parse_robots
@@ -1661,6 +1662,36 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Crawl-trap detection: constructed URLs hit every rule once plus three
+# boundary negatives (segment repeated only twice, 3 numeric segments,
+# 'userid=' not matching the session-id delimiter class).
+_TRAP_URL = (
+    "'http://t' || CAST(doc_id % 5 AS STRING) || '.example' || "
+    "CASE CAST(doc_id % 13 AS INT) "
+    "WHEN 0 THEN '/cat/page/cat/page/cat/page/x.html' "
+    "WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m.html' "
+    "WHEN 2 THEN '/s?q=' || repeat('x', 300) "
+    "WHEN 3 THEN '/s?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&a10=1&a11=1' "
+    "WHEN 4 THEN '/p;jsessionid=ABC123DEF' "
+    "WHEN 5 THEN '/2026/08/17/0500/p.html' "
+    "WHEN 6 THEN '/cat/page/cat/x.html' "
+    "WHEN 7 THEN '/p?sid=' || CAST(doc_id AS STRING) "
+    "WHEN 8 THEN '/a/b?x=1&userid=22' "
+    "WHEN 9 THEN '/1/2/3/x.html' "
+    "ELSE '/p' || CAST(doc_id AS STRING) || '.html' END"
+)
+
+
+@register(
+    "trap_filter",
+    traps.detect_traps_sql(f"SELECT doc_id, {_TRAP_URL} AS url FROM documents"),
+)
+def trap_filter_q(spark, sf_dir):
+    return traps.detect_traps(
+        _read(spark, sf_dir, "documents").selectExpr("doc_id", f"{_TRAP_URL} AS url")
+    )
 
 
 @register("sitemap_ingest", sitemap.sitemap_seeds_sql(_SM_ROBOTS_SQL, _SM_PAGES_SQL))
