@@ -35,6 +35,7 @@ from ..operators import (
     packing,
     pii,
     quality,
+    recrawl,
     redirects,
     sampling,
     similarity,
@@ -1662,6 +1663,34 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Adaptive recrawl scheduling: a 4-snapshot history per URL (125 URLs
+# at sf0.01) with four change temperaments — every-round, every-other-
+# round, changed-once, static — so all four refresh tiers and the
+# never-changed age fallback populate. Integer division spells `div`
+# in Spark and `//` in DuckDB, hence the parametrized constructor.
+def _rc_hist_exprs(d: str) -> tuple[str, str, str]:
+    return (
+        "'http://h' || CAST(doc_id % 125 AS STRING) || '.example/p' AS url",
+        f"doc_id {d} 125 AS round",
+        f"md5(CAST(CASE CAST(doc_id % 125 % 4 AS INT) "
+        f"WHEN 0 THEN doc_id {d} 125 "
+        f"WHEN 1 THEN (doc_id {d} 125) {d} 2 "
+        f"WHEN 2 THEN CASE WHEN doc_id {d} 125 >= 2 THEN 1 ELSE 0 END "
+        "ELSE 0 END AS STRING)) AS digest",
+    )
+
+
+@register(
+    "recrawl_schedule",
+    recrawl.recrawl_priorities_sql(
+        "SELECT " + ", ".join(_rc_hist_exprs("//")) + " FROM documents"
+    ),
+)
+def recrawl_schedule_q(spark, sf_dir):
+    hist = _read(spark, sf_dir, "documents").selectExpr(*_rc_hist_exprs("div"))
+    return recrawl.recrawl_priorities(hist)
 
 
 # Crawl-trap detection: constructed URLs hit every rule once plus three
