@@ -1574,6 +1574,66 @@ def _multimodal_features_oracle(sf_dir: str | None = None) -> str:
     )
 
 
+# Compression-ratio filter: the zlib kernel is not SQL-expressible, so
+# the oracle recomputes it single-process (same CPython zlib) over the
+# same parquet. The construct plants both drop branches: a 600-byte
+# repeated prefix (ratio collapses — template spam) and a 5-char
+# truncation (zlib overhead dominates — ratio above 1).
+_CR_CASE = (
+    "CASE WHEN doc_id % 7 = 0 THEN repeat('na ', 200) || text "
+    "WHEN doc_id % 7 = 1 THEN substr(text, 1, 5) ELSE text END"
+)
+
+
+def _cr_text_py(did: int, text: str) -> str:
+    if did % 7 == 0:
+        return "na " * 200 + text
+    if did % 7 == 1:
+        return text[:5]
+    return text
+
+
+def _compression_filter_oracle(sf_dir: str | None = None) -> str:
+    import pyarrow.parquet as pq
+
+    from ..operators.compress import (
+        EMPTY_SENTINEL,
+        MAX_RATIO_MILLI_DEFAULT,
+        MIN_RATIO_MILLI_DEFAULT,
+        zlib_len_kernel,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir or _ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        t = _cr_text_py(did, text)
+        raw = len(t.encode("utf-8"))
+        comp = zlib_len_kernel([t])[0]
+        ratio = EMPTY_SENTINEL if raw == 0 else (comp * 1000) // raw
+        keep = MIN_RATIO_MILLI_DEFAULT <= ratio <= MAX_RATIO_MILLI_DEFAULT
+        rows.append((comp, did, "TRUE" if keep else "FALSE", ratio, raw))
+    vals = ", ".join(f"({c}, {d}, {k}, {r}, {w})" for c, d, k, r, w in rows)
+    return (
+        "SELECT CAST(comp_len AS BIGINT) AS comp_len, "
+        "CAST(doc_id AS BIGINT) AS doc_id, keep, "
+        "CAST(ratio_milli AS BIGINT) AS ratio_milli, "
+        "CAST(raw_len AS BIGINT) AS raw_len "
+        f"FROM (VALUES {vals}) AS t(comp_len, doc_id, keep, ratio_milli, raw_len)"
+    )
+
+
+@register("compression_filter", _compression_filter_oracle)
+def compression_filter_q(spark, sf_dir):
+    from ..operators import compress
+
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_CR_CASE} AS text"
+    )
+    return compress.compression_filter(docs)
+
+
 @register("stemmed_postings", _stemmed_postings_oracle)
 def stemmed_postings_q(spark, sf_dir):
     return index.stemmed_postings(_read(spark, sf_dir, "documents")).select(
