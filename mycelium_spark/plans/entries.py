@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
 from ..operators import (
     anchors,
+    canonical,
     classifier,
     clusters,
     decontam,
@@ -1723,6 +1724,45 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Canonical-URL dedup: 3-URL variant groups (bare / ?utm / ?page) all
+# pointing at the bare member via rel=canonical in three syntaxes —
+# absolute double-quoted, root-relative reversed-attribute-order, and
+# uppercase unquoted protocol-relative — plus no-tag and
+# unresolvable-relative-href overrides that fall back to
+# self-canonical singleton groups.
+def _cc_pages(d: str) -> tuple[str, str]:
+    g = f"CAST(doc_id {d} 3 AS STRING)"
+    base = f"'http://c' || CAST((doc_id {d} 3) % 50 AS STRING) || '.example'"
+    canon = f"{base} || '/a' || {g}"
+    url = (
+        f"{canon} || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '' "
+        "WHEN 1 THEN '?utm=1' ELSE '?page=2' END"
+    )
+    body = (
+        "CASE WHEN doc_id % 17 = 0 THEN '<html><head><title>t</title></head>' "
+        "WHEN doc_id % 23 = 0 THEN '<link rel=\"canonical\" href=\"x.html\">' "
+        "WHEN doc_id % 3 = 0 THEN "
+        f"'<html><head><link rel=\"canonical\" href=\"' || {canon} || "
+        "'\"></head><body>x</body></html>' "
+        "WHEN doc_id % 3 = 1 THEN "
+        f"'<head><link href=\"/a' || {g} || '\" rel=\"canonical\"></head>' "
+        f"ELSE '<LINK REL=canonical HREF=//c' || CAST((doc_id {d} 3) % 50 AS STRING) || "
+        f"'.example/a' || {g} || '>' END"
+    )
+    return f"{url} AS url", f"{body} AS body"
+
+
+@register(
+    "canonical_dedup",
+    canonical.canonical_dedup_sql(
+        "SELECT " + ", ".join(_cc_pages("//")) + " FROM documents"
+    ),
+)
+def canonical_dedup_q(spark, sf_dir):
+    pages = _read(spark, sf_dir, "documents").selectExpr(*_cc_pages("div"))
+    return canonical.canonical_dedup(pages)
 
 
 # Adaptive recrawl scheduling: a 4-snapshot history per URL (125 URLs
