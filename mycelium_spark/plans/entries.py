@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
 from ..operators import (
     anchors,
+    budget,
     canonical,
     classifier,
     clusters,
@@ -1724,6 +1725,29 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Crawl-budget apportionment: 97 hosts with quadratic-residue weights
+# (one host pinned to weight 0), global budget 10k — quotas must sum
+# exactly to the budget with largest-remainder bonuses.
+_BU_HOSTS = (
+    "SELECT DISTINCT 'h' || lpad(CAST(doc_id % 97 AS STRING), 2, '0') AS host, "
+    "CASE WHEN doc_id % 97 = 13 THEN 0 "
+    "ELSE ((doc_id % 97) * (doc_id % 97)) % 1009 + 1 END AS weight "
+    "FROM documents"
+)
+_BU_BUDGET = 10_000
+
+
+@register("budget_apportion", budget.apportion_budget_sql(_BU_HOSTS, _BU_BUDGET))
+def budget_apportion_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    hosts = docs.selectExpr(
+        "'h' || lpad(CAST(doc_id % 97 AS STRING), 2, '0') AS host",
+        "CASE WHEN doc_id % 97 = 13 THEN 0 "
+        "ELSE ((doc_id % 97) * (doc_id % 97)) % 1009 + 1 END AS weight",
+    ).distinct()
+    return budget.apportion_budget(hosts, _BU_BUDGET)
 
 
 # Canonical-URL dedup: 3-URL variant groups (bare / ?utm / ?page) all
