@@ -41,6 +41,7 @@ from ..operators import (
     redirects,
     sampling,
     similarity,
+    soft404,
     traps,
     urlfilter,
 )
@@ -1725,6 +1726,41 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Soft-404 detection: constructed (status, title, text) rows cover a
+# titled husk (title hit + tiny body), a long apology page (two body
+# phrases + title hit), two single-weak-signal negatives (tiny-only,
+# one passing body phrase), a REAL 404 that must not flag, and plain
+# pages.
+_S4_STATUS = "CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END"
+_S4_TITLE = (
+    "CASE CAST(doc_id % 11 AS INT) WHEN 0 THEN 'Page Not Found' "
+    "WHEN 1 THEN 'Oops Error' ELSE 'Doc ' || CAST(doc_id AS STRING) END"
+)
+_S4_TEXT = (
+    "CASE CAST(doc_id % 11 AS INT) "
+    "WHEN 0 THEN 'The page you requested was not found.' "
+    "WHEN 1 THEN 'This article does not exist or has been removed. ' || text "
+    "WHEN 2 THEN substr(text, 1, 40) "
+    "WHEN 3 THEN text || ' error 404 mentioned in passing' "
+    "ELSE text END"
+)
+_S4_SQL = (
+    f"SELECT doc_id, {_S4_STATUS} AS status, {_S4_TITLE} AS title, "
+    f"{_S4_TEXT} AS text FROM documents"
+)
+
+
+@register("soft404_detect", soft404.detect_soft404_sql(_S4_SQL))
+def soft404_detect_q(spark, sf_dir):
+    pages = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_S4_STATUS} AS status",
+        f"{_S4_TITLE} AS title",
+        f"{_S4_TEXT} AS text",
+    )
+    return soft404.detect_soft404(pages)
 
 
 # Crawl-budget apportionment: 97 hosts with quadratic-residue weights
