@@ -30,6 +30,7 @@ from ..operators import (
     dedup,
     delta,
     dsir,
+    hostreport,
     index,
     linededup,
     linkgraph,
@@ -1726,6 +1727,25 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Per-host corpus report: 37 hosts over the documents table. The
+# doc_id % 74 stride plants identical bodies that all land on host h0
+# (74 = 2 x 37), so the within-host dup counter has live rows; the
+# fixture's lang column populates the language-mode branch.
+_HR_TEXT = "CASE WHEN doc_id % 74 = 0 THEN 'shared template body' ELSE text END"
+_HR_SQL = (
+    "SELECT 'h' || CAST(doc_id % 37 AS STRING) AS host, lang, "
+    f"{_HR_TEXT} AS text FROM documents"
+)
+
+
+@register("host_report", hostreport.host_report_sql(_HR_SQL))
+def host_report_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "'h' || CAST(doc_id % 37 AS STRING) AS host", "lang", f"{_HR_TEXT} AS text"
+    )
+    return hostreport.host_report(docs)
 
 
 # Soft-404 detection: constructed (status, title, text) rows cover a
