@@ -45,6 +45,7 @@ from ..operators import (
     soft404,
     traps,
     urlfilter,
+    urlpatterns,
 )
 from ..functions.robots import parse_robots
 from ..sources import sitemap, warc
@@ -1727,6 +1728,26 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# URL pattern mining: 7 hosts; an /item/<id> template that explodes by
+# count, an /aN/page?id=V template exploding by host share, four
+# letter-path statics that stay quiet, and an every-31st md5 session
+# URL exercising the hex-run placeholder.
+_UP_URL = (
+    "'http://p' || CAST(doc_id % 7 AS STRING) || '.example' || "
+    "CASE WHEN doc_id % 31 = 0 THEN '/session/' || md5(CAST(doc_id AS STRING)) "
+    "WHEN doc_id % 3 = 0 THEN '/item/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 3 = 1 THEN '/a' || CAST(doc_id % 5 AS STRING) || "
+    "'/page?id=' || CAST(doc_id AS STRING) "
+    "ELSE '/x/' || chr(97 + CAST(doc_id % 4 AS INT)) END"
+)
+
+
+@register("url_patterns", urlpatterns.url_patterns_sql(f"SELECT {_UP_URL} AS url FROM documents"))
+def url_patterns_q(spark, sf_dir):
+    urls = _read(spark, sf_dir, "documents").selectExpr(f"{_UP_URL} AS url")
+    return urlpatterns.url_patterns(urls)
 
 
 # Per-host corpus report: 37 hosts over the documents table. The
