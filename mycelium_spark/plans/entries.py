@@ -34,6 +34,7 @@ from ..operators import (
     index,
     linededup,
     linkgraph,
+    linkspam,
     lm,
     packing,
     pii,
@@ -1728,6 +1729,34 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Link-spam features: 83 organic hosts plus a fully-reciprocated
+# 3-node farm ring (hosts 100-102) and every-29th self-loops.
+_LS_BRANCHES = (
+    ("doc_id % 83", "((doc_id % 83) * 37 + doc_id % 5 + 1) % 83", None),
+    ("100 + doc_id % 3", "100 + (doc_id % 3 + 1) % 3", "doc_id % 11 = 0"),
+    ("100 + (doc_id % 3 + 1) % 3", "100 + doc_id % 3", "doc_id % 11 = 0"),
+    ("doc_id % 83", "doc_id % 83", "doc_id % 29 = 0"),
+)
+_LS_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT {s} AS src, {d} AS dst FROM documents"
+    + (f" WHERE {w}" if w else "")
+    for s, d, w in _LS_BRANCHES
+)
+
+
+@register("linkspam_features", linkspam.linkspam_features_sql(_LS_EDGES_SQL))
+def linkspam_features_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    parts = [
+        (docs.filter(w) if w else docs).selectExpr(f"{s} AS src", f"{d} AS dst")
+        for s, d, w in _LS_BRANCHES
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionAll(p)
+    return linkspam.linkspam_features(edges)
 
 
 # URL pattern mining: 7 hosts; an /item/<id> template that explodes by
