@@ -140,3 +140,116 @@ def pagerank_sql(
         + f"\nSELECT node, CAST(r AS DOUBLE) / {float(SCALE)!r} AS rank"
         + f" FROM r{iters}"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = ITERS_DEFAULT,
+    damping: float = DAMPING_DEFAULT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector restricted to a curated good-seed
+    set, so trust flows OUT of vetted hosts and link farms — reachable
+    mostly from each other — starve. The spam complement of the
+    linkspam feature pass: features flag candidates, trust propagation
+    scores the graph.
+
+    Same all-integer fixed point as :func:`pagerank` (the engines'
+    double round() tie divergence motivated it there); the only deltas
+    are the seed-restricted initial vector and teleport term:
+    r0 = SCALE/S on seeds else 0;  r' = is_seed*(SCALE*(1-d))/S
+    + d * sum(contrib). Dangling mass leaks, as in pagerank.
+
+    Scale shape: identical to pagerank (the seed flag rides the node
+    table; seeds are dimension-sized but never broadcast — one
+    left-join marks the flag).
+    """
+    dm = round(damping * 1000)
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(odeg, "src").localCheckpoint(eager=True)
+    sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(sd.withColumn("_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    s = nodes.filter("is_seed = 1").count()  # bounded driver scalar
+    if s == 0:
+        return nodes.select("node", F.lit(0.0).alias("trust"))
+    base = (SCALE * (1000 - dm) // 1000) // s
+    r = nodes.withColumn(
+        "r", F.expr(f"CAST(is_seed * ({SCALE} div {s}) AS BIGINT)")
+    )
+    for _ in range(iters):
+        contrib = (
+            eo.join(r.selectExpr("node AS src", "r"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div outdeg")).alias("_s"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                F.expr(
+                    f"is_seed * {base} + ({dm} * coalesce(_s, 0L)) div 1000"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select(
+        "node", (F.col("r").cast("double") / F.lit(float(SCALE))).alias("trust")
+    )
+
+
+def trustrank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = ITERS_DEFAULT,
+    damping: float = DAMPING_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`trustrank`, iterations unrolled."""
+    dm = round(damping * 1000)
+    base_num = SCALE * (1000 - dm) // 1000
+    parts = [
+        f"edges AS ( SELECT DISTINCT src, dst FROM ( {edges_sql} ) )",
+        "odeg AS ( SELECT src, count(*) AS outdeg FROM edges GROUP BY src )",
+        f"sd AS ( SELECT DISTINCT node FROM ( {seeds_sql} ) )",
+        "nodes AS ( SELECT n.node, "
+        "CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed "
+        "FROM (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)) n "
+        "LEFT JOIN sd ON n.node = sd.node )",
+        "ns AS ( SELECT count(*) AS s FROM nodes WHERE is_seed = 1 )",
+        f"r0 AS ( SELECT node, is_seed, "
+        f"is_seed * ({SCALE} // (SELECT s FROM ns)) AS r FROM nodes )",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS ( SELECT e.dst AS node, sum(r.r // o.outdeg) AS s "
+            f"FROM edges e JOIN r{i} r ON e.src = r.node "
+            f"JOIN odeg o ON e.src = o.src GROUP BY e.dst )"
+        )
+        parts.append(
+            f"r{i + 1} AS ( SELECT n.node, n.is_seed, "
+            f"n.is_seed * ({base_num} // (SELECT s FROM ns)) "
+            f"+ ({dm} * coalesce(c.s, 0)) // 1000 AS r "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node )"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(r AS DOUBLE) / {float(SCALE)!r} AS trust"
+        + f" FROM r{iters}"
+    )

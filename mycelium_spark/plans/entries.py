@@ -1429,6 +1429,26 @@ def pagerank_hosts_q(spark, sf_dir):
     return linkgraph.pagerank(edges)
 
 
+# TrustRank over the same synthetic host graph: seeds are the
+# quadratic residues mod 97 that are < 20 (a curated-looking sparse
+# set); trust concentrates around seed out-neighborhoods and the
+# teleport-starved tail decays toward zero.
+_TR_SEEDS = "SELECT DISTINCT ((doc_id % 97) * (doc_id % 97)) % 97 AS node FROM documents WHERE ((doc_id % 97) * (doc_id % 97)) % 97 < 20"
+
+
+@register("trustrank_hosts", linkgraph.trustrank_sql(_PR_EDGES, _TR_SEEDS))
+def trustrank_hosts_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        "doc_id % 97 AS src",
+        "((doc_id % 97) * 31 + (doc_id % 3) * 7 + 1) % 97 AS dst",
+    )
+    seeds = docs.selectExpr("((doc_id % 97) * (doc_id % 97)) % 97 AS node").filter(
+        "node < 20"
+    )
+    return linkgraph.trustrank(edges, seeds)
+
+
 # fastText-style classifier gate (Joulin et al. 2016; the DCLM/LLaMA
 # quality-filter stage): hashing-trick featurizer + broadcast weight
 # table + exact-integer logit gate. Weights are the documented

@@ -82,3 +82,68 @@ def test_plan_has_no_nested_loops(spark):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------- trustrank
+
+
+def _duck_trust(pairs, seeds, iters=5, damping=0.85):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    con.execute("CREATE TABLE s (node BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(x,) for x in seeds])
+    return sorted(
+        tuple(r)
+        for r in con.sql(
+            linkgraph.trustrank_sql(
+                "SELECT src, dst FROM e", "SELECT node FROM s", iters, damping
+            )
+        ).fetchall()
+    )
+
+
+def _trust(spark, pairs, seeds):
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {
+        r["node"]: r["trust"]
+        for r in linkgraph.trustrank(_edges(spark, pairs), sdf).collect()
+    }
+
+
+def test_trustrank_matches_duckdb_twin(spark):
+    seeds = [0, 3]
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = sorted(
+        tuple(r) for r in linkgraph.trustrank(_edges(spark, _GRAPH), sdf).collect()
+    )
+    assert got == _duck_trust(_GRAPH, seeds)
+
+
+def test_trust_flows_from_seeds_only(spark):
+    # chain 0 -> 1 -> 2 and isolated pair 3 -> 4; seed {0}: the isolated
+    # component gets exactly zero trust, and trust decays along the chain
+    t = _trust(spark, [(0, 1), (1, 2), (3, 4)], [0])
+    assert t[3] == 0.0 and t[4] == 0.0
+    assert t[0] > t[1] > t[2] > 0
+
+
+def test_unknown_seed_contributes_nothing(spark):
+    # a seed not present in the graph must not receive teleport mass
+    # (it is not a node), and no trust appears anywhere
+    t = _trust(spark, [(1, 2)], [99])
+    assert set(t) == {1, 2} and all(v == 0.0 for v in t.values())
+
+
+def test_farm_starves_under_trustrank(spark):
+    # seeds feed an honest chain; a reciprocal farm pair is reachable
+    # only from itself -> pagerank rewards it, trustrank zeroes it
+    pairs = [(0, 1), (1, 0), (10, 11), (11, 10), (0, 10)]
+    # farm = {10, 11} reachable from seed 0 here, so give them trust via
+    # the 0->10 edge but compare against the UNREACHABLE farm {20, 21}
+    pairs += [(20, 21), (21, 20)]
+    t = _trust(spark, pairs, [0])
+    assert t[20] == 0.0 and t[21] == 0.0
+    assert t[10] > 0  # reachable farm still earns something via 0->10
+    pr = {r["node"]: r["rank"] for r in linkgraph.pagerank(_edges(spark, pairs)).collect()}
+    assert pr[20] > 0  # pagerank cannot tell the difference
