@@ -1973,9 +1973,9 @@ def trap_filter_q(spark, sf_dir):
     )
 
 
-@register("sitemap_ingest", sitemap.sitemap_seeds_sql(_SM_ROBOTS_SQL, _SM_PAGES_SQL))
-def sitemap_ingest_q(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+def _sm_frames(docs):
+    """(robots, pages) fixture frames shared by sitemap_ingest and the
+    composed discovery pipeline."""
     anchors_df = docs.filter(_SM_ANCHOR)
     robots = anchors_df.selectExpr(
         "'site' || CAST(doc_id AS STRING) || '.test' AS host",
@@ -1999,7 +1999,118 @@ def sitemap_ingest_q(spark, sf_dir):
             )
         )
     )
+    return robots, pages
+
+
+@register("sitemap_ingest", sitemap.sitemap_seeds_sql(_SM_ROBOTS_SQL, _SM_PAGES_SQL))
+def sitemap_ingest_q(spark, sf_dir):
+    robots, pages = _sm_frames(_read(spark, sf_dir, "documents"))
     return sitemap.sitemap_seeds(robots, pages)
+
+
+# Composed discovery pipeline (the crawl-side clean_corpus): sitemap
+# seeds UNION link-extracted candidates -> trap gate -> URL
+# filter (blocklist + keywords) -> seen anti-join -> per-host
+# largest-remainder budget. Link candidates plant a blocked host
+# (badsite.test), session-id trap URLs, and a /casino keyword page;
+# the seen set holds every /home.html sitemap loc. The oracle nests
+# the same five SQL builders, so the COMPOSITION is value-hash
+# verified, not just the stages.
+_DISC_LINK_URL = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'http://badsite.test/p' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 5 = 1 THEN 'http://site' || CAST((doc_id % 17) * 29 AS STRING) || "
+    "'.test/p;jsessionid=' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 19 = 0 THEN 'http://site' || CAST((doc_id % 17) * 29 AS STRING) || "
+    "'.test/casino-page' "
+    "ELSE 'http://site' || CAST((doc_id % 17) * 29 AS STRING) || '.test/d' || "
+    "CAST(doc_id AS STRING) END"
+)
+_DISC_SEEN_SQL = (
+    f"SELECT {_SM_BASE} || '/home.html' AS url FROM documents WHERE {_SM_ANCHOR}"
+)
+_DISC_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+_DISC_BUDGET = 200
+
+
+def _discovery_oracle() -> str:
+    # each stage builder gets the candidate SQL INLINED (not a shared
+    # CTE reference): the builders open their own WITH scopes, and
+    # DuckDB's binder rejects correlated references from a nested WITH
+    # to an outer CTE
+    seeds = sitemap.sitemap_seeds_sql(_SM_ROBOTS_SQL, _SM_PAGES_SQL)
+    cand = f"""
+SELECT DISTINCT host, url FROM (
+  SELECT host, loc AS url FROM ( {seeds} )
+  UNION
+  SELECT lower(regexp_extract(url, '{_DISC_HOST_RE}', 1)) AS host, url
+  FROM (SELECT {_DISC_LINK_URL} AS url FROM documents)
+)"""
+    tr = traps.detect_traps_sql(f"SELECT url AS doc_id, url FROM ({cand})")
+    uf = urlfilter.url_filter_sql(
+        f"SELECT url AS doc_id, url FROM ({cand})",
+        "SELECT 'badsite.test' AS domain",
+    )
+    ap = budget.apportion_budget_sql(
+        "SELECT host, n_candidates AS weight FROM ph", _DISC_BUDGET
+    )
+    # semi-join (IN) form rather than a 3-way join of the builder
+    # subqueries: DuckDB's binder hits an internal error when all
+    # three nested-WITH subqueries meet in one join tree
+    return f"""
+WITH ok AS (
+  SELECT c.host, c.url FROM ({cand}) c
+  WHERE c.url IN (SELECT doc_id FROM ({tr}) WHERE NOT trap)
+    AND c.url IN (SELECT doc_id FROM ({uf}) WHERE keep)
+),
+new AS (
+  SELECT * FROM ok o
+  WHERE NOT EXISTS (SELECT 1 FROM ({_DISC_SEEN_SQL}) s WHERE s.url = o.url)
+),
+ph AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_candidates FROM new GROUP BY host
+),
+ap AS ({ap})
+SELECT ph.host, ph.n_candidates, ap.quota,
+       least(ph.n_candidates, ap.quota) AS scheduled
+FROM ph JOIN ap ON ph.host = ap.host
+"""
+
+
+@register("discovery_pipeline", _discovery_oracle())
+def discovery_pipeline_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    robots, pages = _sm_frames(docs)
+    seeds = sitemap.sitemap_seeds(robots, pages).select(
+        "host", F.col("loc").alias("url")
+    )
+    links = docs.selectExpr(f"{_DISC_LINK_URL} AS url").select(
+        F.lower(F.regexp_extract("url", _DISC_HOST_RE, 1)).alias("host"), "url"
+    )
+    cand = seeds.unionByName(links).distinct()
+    tr = traps.detect_traps(cand, url_col="url", id_col="url")
+    uf = urlfilter.url_filter(
+        cand,
+        docs.sparkSession.createDataFrame([("badsite.test",)], "domain string"),
+        url_col="url",
+        id_col="url",
+    )
+    ok = (
+        cand.join(tr.filter("NOT trap").select("url"), "url")
+        .join(uf.filter("keep").select(F.col("url")), "url")
+        .select("host", "url")
+    )
+    seen = docs.filter(_SM_ANCHOR).selectExpr(f"{_SM_BASE} || '/home.html' AS url")
+    new = ok.join(seen, "url", "left_anti")
+    ph = new.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    ap = budget.apportion_budget(
+        ph.selectExpr("host", "n_candidates AS weight"), _DISC_BUDGET
+    )
+    return ph.join(ap.select("host", "quota"), "host").selectExpr(
+        "host",
+        "n_candidates",
+        "quota",
+        "least(n_candidates, quota) AS scheduled",
+    )
 
 
 # ====================================================================
