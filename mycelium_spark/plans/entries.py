@@ -30,6 +30,7 @@ from ..operators import (
     dedup,
     delta,
     dsir,
+    hll,
     hostreport,
     index,
     linededup,
@@ -1749,6 +1750,24 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Deterministic HLL distinct counting: 11 hosts x ~45 distinct URL
+# keys each at sf0.01 — the linear-counting branch; the raw-estimate
+# branch at higher cardinality is pinned in tests/test_hll.py.
+_HLL_SQL = (
+    "SELECT 'h' || CAST(doc_id % 11 AS STRING) AS host, "
+    "'/u' || CAST(doc_id % 200 AS STRING) AS url FROM documents"
+)
+
+
+@register("approx_distinct_urls", hll.approx_distinct_sql(_HLL_SQL))
+def approx_distinct_urls_q(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").selectExpr(
+        "'h' || CAST(doc_id % 11 AS STRING) AS host",
+        "'/u' || CAST(doc_id % 200 AS STRING) AS url",
+    )
+    return hll.approx_distinct(d, "url", "host")
 
 
 # Link-spam features: 83 organic hosts plus a fully-reciprocated
