@@ -58,12 +58,12 @@ def postings_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def postings_stats_sql() -> str:
-    return """
+def postings_stats_sql(source: str = "documents") -> str:
+    return f"""
 WITH dt AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source}
   )
   WHERE regexp_full_match(term, '\\w+')
   GROUP BY doc_id, term
@@ -146,3 +146,54 @@ SELECT dt.doc_id, dt.term, dt.tf,
        round(dt.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6), 6) AS tf_idf
 FROM dt JOIN dfreq ON dt.term = dfreq.term CROSS JOIN n
 """
+
+
+def incremental_doc_terms(
+    old_terms: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental index maintenance: bring a materialized (doc_id,
+    term, tf) table from snapshot ``old`` to snapshot ``new`` without
+    re-tokenizing unchanged documents.
+
+    At 100 TB, "rebuild the index" is the operation you can never
+    afford; every production index maintains itself from the crawl
+    delta (the reference's TODO stops at build — local_indexer.cc —
+    so maintenance is pipeline-brief scope). Semantics: digests split
+    the doc_id space via the snapshot-delta operator (added / changed
+    / gone / unchanged); postings of changed+gone docs are anti-joined
+    out, changed+added docs re-tokenize, unchanged postings are carried
+    untouched. The result is pinned EQUAL to a full rebuild over the
+    new snapshot — the driver oracle is literally the full rebuild.
+
+    Scale shape: the delta join moves (doc_id, digest) only; the
+    anti-join and the carry ride the index's doc_id partitioning; only
+    the dirty fraction of the corpus is tokenized. Downstream
+    aggregates (postings, tf-idf) re-derive from the maintained terms
+    table exactly as from a fresh one.
+    """
+    from . import delta as _delta
+
+    d = _delta.snapshot_delta(
+        old_docs, new_docs, url_col=id_col, text_col=text_col
+    ).withColumnRenamed("url", id_col)
+    dirty_old = d.filter("status IN ('changed', 'gone')").select(id_col)
+    dirty_new = d.filter("status IN ('changed', 'added')").select(id_col)
+    kept = old_terms.join(dirty_old, id_col, "left_anti")
+    fresh = doc_terms(
+        new_docs.join(dirty_new, id_col, "left_semi"), text_col, id_col
+    )
+    return kept.unionByName(fresh)
+
+
+def stats_from_terms(dt: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """postings_stats view over an existing (doc_id, term, tf) table."""
+    return dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.min(id_col).cast("long").alias("first_doc"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )

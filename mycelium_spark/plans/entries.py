@@ -1243,6 +1243,31 @@ _DELTA_NEW = (
 )
 
 
+# Incremental index maintenance over the same two snapshots: the
+# entry output is the stats view of the INCREMENTALLY maintained
+# (doc_id, term, tf) table, and the oracle is a FULL REBUILD over the
+# new snapshot — equality IS the maintenance-correctness claim.
+_IDX_OLD = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)"
+_IDX_NEW = (
+    "(SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 9)"
+)
+
+
+@register("incremental_index", index.postings_stats_sql(_IDX_NEW))
+def incremental_index_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 10 != 0").select("doc_id", "text")
+    new = docs.filter("doc_id % 10 != 9").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text",
+    )
+    old_terms = index.doc_terms(old)
+    maintained = index.incremental_doc_terms(old_terms, old, new)
+    return index.stats_from_terms(maintained)
+
+
 @register("crawl_delta", delta.snapshot_delta_sql(_DELTA_OLD, _DELTA_NEW))
 def crawl_delta_q(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
