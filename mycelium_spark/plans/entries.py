@@ -40,6 +40,7 @@ from ..operators import (
     packing,
     pii,
     quality,
+    quantiles,
     recrawl,
     redirects,
     sampling,
@@ -1775,6 +1776,19 @@ _SM_PAGES_SQL = (
     f"UNION ALL SELECT {_SM_BASE} || '/direct.xml', {_SM_DIRECT} "
     f"FROM documents WHERE {_SM_ANCHOR}"
 )
+
+
+# Exact percentiles of document byte length (nearest-rank, two-phase
+# histogram rank — no global sort, no sketch).
+@register(
+    "length_percentiles",
+    quantiles.exact_percentiles_sql(
+        "SELECT length(text) AS v FROM documents", "v"
+    ),
+)
+def length_percentiles_q(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").selectExpr("length(text) AS v")
+    return quantiles.exact_percentiles(d, "v")
 
 
 # Deterministic HLL distinct counting: 11 hosts x ~45 distinct URL
