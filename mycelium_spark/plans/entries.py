@@ -2144,7 +2144,10 @@ def discovery_pipeline_q(spark, sf_dir):
     links = docs.selectExpr(f"{_DISC_LINK_URL} AS url").select(
         F.lower(F.regexp_extract("url", _DISC_HOST_RE, 1)).alias("host"), "url"
     )
-    cand = seeds.unionByName(links).distinct()
+    # cand feeds three consumers (trap gate, URL filter, final join):
+    # checkpoint so the sitemap-parse subtree runs once, not 3x (the
+    # round-4 union-branch recompute lesson)
+    cand = seeds.unionByName(links).distinct().localCheckpoint(eager=False)
     tr = traps.detect_traps(cand, url_col="url", id_col="url")
     uf = urlfilter.url_filter(
         cand,
@@ -2159,7 +2162,12 @@ def discovery_pipeline_q(spark, sf_dir):
     )
     seen = docs.filter(_SM_ANCHOR).selectExpr(f"{_SM_BASE} || '/home.html' AS url")
     new = ok.join(seen, "url", "left_anti")
-    ph = new.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    # host-cardinality rows; apportionment's bounded driver actions
+    # (weight sum, base sum, bucket counts) would otherwise re-derive
+    # the whole gating chain per action
+    ph = new.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    ).localCheckpoint(eager=False)
     ap = budget.apportion_budget(
         ph.selectExpr("host", "n_candidates AS weight"), _DISC_BUDGET
     )
