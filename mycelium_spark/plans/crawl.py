@@ -253,6 +253,43 @@ class CrawlEngine:
         fresh.unpersist()
         return n_new
 
+    def seed_from_sitemaps(self) -> int:
+        """Sitemap discovery as a seed source (sitemaps.org protocol —
+        an extension; the reference seeds only from the TCP pipe,
+        crawler.cc:1297): robots bodies come from the corpus's own
+        ``http://<host>/robots.txt`` pages (the robots_from_pages
+        fetch-path semantics), their `Sitemap:` directives are matched
+        against the pages table, one spec-complete index level
+        expands, and every ``<url><loc>`` passes the SAME S1 ingest
+        gate as piped seeds (absolute http only, RFC 3986 normalized)
+        before ``add_seeds`` dedups it against frontier + seen.
+        Returns the number of frontier rows actually added."""
+        from ..sources.sitemap import sitemap_seeds
+
+        robots = self.content_pages.filter(
+            F.col("url").rlike(r"^http://[^/]+/robots\.txt$")
+        ).select(
+            F.regexp_extract("url", r"^http://([^/]+)/robots\.txt$", 1).alias(
+                "host"
+            ),
+            F.col("html").cast("string").alias("body"),
+        )
+        pages = self.content_pages.select(
+            "url", F.col("html").cast("string").alias("body")
+        )
+        locs = sitemap_seeds(robots, pages).select("loc").distinct()
+        parts_udf = F.pandas_udf(url_parts_frame, URL_PARTS_TYPE)
+        norm_udf = F.pandas_udf(normalize_url_series, "string")
+        parsed = (
+            locs.withColumn("p", parts_udf("loc"))
+            .filter(F.col("p.valid") & (F.col("p.scheme") == "http"))
+            .withColumn("url", norm_udf("loc"))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", parts_udf("url").getField("host"))
+            .select("url", "host")
+        )
+        return self.add_seeds(parsed)
+
     def run_streaming(
         self, seed_dir: str, checkpoint_dir: str, max_rounds: int = 10,
         timeout_sec: int = 300,
