@@ -74,10 +74,27 @@ def url_patterns(
         ).alias("pattern"),
         F.col(url_col).alias("url"),
     )
-    groups = base.groupBy("host", "pattern").agg(
-        F.countDistinct("url").cast("long").alias("n_urls"),
-        F.min("url").alias("example"),
+    # Two deliberate scale choices, both measured at 20-100M rows
+    # (scripts/scale_rehearsal_r5b.py):
+    # 1. distinct by 64-bit md5 prefix, not the URL string — the
+    #    distinct keys are fixed 16-byte values instead of full URLs
+    #    (same convention in the twin, so exactness holds; 64-bit
+    #    birthday collisions at 10^8 keys can undercount a template by
+    #    ~1, immaterial against a >=20 threshold);
+    # 2. the distinct count and min(url) run as SEPARATE aggregations
+    #    joined on the template key: mixing distinct and non-distinct
+    #    aggs makes Spark EXPAND every input row per agg path, which
+    #    defeats partial aggregation (measured 229s combined vs ~70s
+    #    split at 20M rows). The projection recomputes per agg — at
+    #    corpus scale re-running a codegen projection is far cheaper
+    #    than materializing it.
+    nd = base.groupBy("host", "pattern").agg(
+        F.countDistinct(F.expr("substr(md5(url), 1, 16)")).cast("long").alias(
+            "n_urls"
+        )
     )
+    ex = base.groupBy("host", "pattern").agg(F.min("url").alias("example"))
+    groups = nd.join(ex, ["host", "pattern"])
     totals = groups.groupBy("host").agg(F.sum("n_urls").alias("_host_urls"))
     return groups.join(totals, "host").selectExpr(
         "example",
@@ -113,7 +130,8 @@ base AS (
   FROM u
 ),
 groups AS (
-  SELECT host, pattern, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+  SELECT host, pattern,
+         CAST(count(DISTINCT substr(md5(url), 1, 16)) AS BIGINT) AS n_urls,
          min(url) AS example
   FROM base GROUP BY host, pattern
 ),
