@@ -1,0 +1,152 @@
+"""BM25 ranked retrieval over the inverted index (the query side of
+SURVEY.md §2.7 A5/A6).
+
+The reference builds toward a search engine — tokenizer + stemmer shipped,
+"inverted index: TODO" (README.txt:25-27) — but never reaches the scoring
+step. BM25 (Robertson & Zaragoza 2009, the Lucene-default ranking
+function) is the published convention for that step, and ordering (A6
+top-k) is already an engine primitive, so batch query scoring over the
+index completes the retrieval path: tokenize → postings → score → top-k.
+
+Semantics (Lucene/Robertson "plus-one" idf so every term contributes
+positively):
+
+* idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5)), rounded 6 dp;
+* tfn(t,d) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl));
+* score(q,d) = Σ_{t ∈ q} round(idf*tfn, 6)  — exact decimal accumulation,
+  so the per-doc sum is order-independent (driver value-hash rule);
+* dl = T1-kept token count of d; avgdl = Σdl / N over ALL docs (token-less
+  docs count 0); ties rank by doc_id ascending.
+
+Determinism across engines: every float op is the same IEEE expression on
+the same inputs in Spark and DuckDB (ln / + / * / /); per-term
+contributions round to 6 dp BEFORE the per-doc sum, and the sum runs in
+DECIMAL(18,6) in both engines, so ranking ties are exact and the doc_id
+tie-break is reachable identically.
+
+Scale shape (10^9-doc index, query batches): doc_terms' tf aggregation
+combines map-side; the query⋈postings join broadcasts the query-term
+table (queries are KB-sized; postings never move to the driver); dl and
+df ride term-/doc-keyed hash shuffles. N and Σdl are two bounded driver
+scalars (the tf_idf precedent — one count per build, not per query). The
+final top-k is a per-query_id window; a query batch is many independent
+partitions, and a SINGLE interactive query would use TakeOrderedAndProject
+instead (cosine_topk's plan). Nothing corpus-sized is ever collected,
+broadcast, or nested-loop-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index import doc_terms
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, query_id, rank, score): the top ``k`` documents per
+    query_id in ``queries`` (query_id, term), BM25-ranked. Duplicate
+    (query_id, term) rows are deduplicated — BM25 is a set-of-terms
+    model here (no query-side tf), matching the oracle."""
+    dt = doc_terms(docs, text_col, id_col)  # (doc_id, term, tf)
+    dlen = dt.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # bounded driver scalars, one per index build (tf_idf precedent):
+    # N over ALL docs; token-less docs contribute dl=0 to avgdl.
+    n_docs = docs.select(id_col).distinct().count()
+    sum_dl = dlen.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = sum_dl / n_docs  # same IEEE division the oracle runs in SQL
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("term").cast("string").alias("term"),
+    ).distinct()
+    idf = F.round(
+        F.log(
+            1.0
+            + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * tfn, 6).cast("decimal(18,6)")
+    scored = (
+        dt.join(F.broadcast(q), "term")  # query side is KB-sized: hint it
+        # so the plan never shuffles the corpus terms on the query join
+        .join(dlen, id_col)
+        .join(dfreq, "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "query_id", "rank", "score")
+    )
+
+
+def bm25_topk_sql(
+    queries_values: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin. ``queries_values`` is a SQL relation producing
+    (query_id, term) — e.g. a VALUES list. Identical arithmetic: 6 dp
+    per-term rounding, DECIMAL(18,6) accumulation, doc_id tie-break."""
+    return f"""
+WITH dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {source})
+  WHERE regexp_full_match(term, '\\w+')
+  GROUP BY doc_id, term
+), dlen AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term
+), gstats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM {source}) AS n,
+         CAST(coalesce((SELECT sum(dl) FROM dlen), 0) AS DOUBLE)
+           / (SELECT count(DISTINCT doc_id) FROM {source}) AS avgdl
+), q AS (
+  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         CAST(term AS VARCHAR) AS term
+  FROM ( {queries_values} ) AS _q(query_id, term)
+), scored AS (
+  SELECT q.query_id, dt.doc_id,
+         CAST(sum(CAST(round(
+           round(ln(1.0 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+           * ((dt.tf * ({k1!r} + 1.0))
+              / (dt.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dlen.dl / g.avgdl))),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM dt
+  JOIN q ON dt.term = q.term
+  JOIN dlen ON dt.doc_id = dlen.doc_id
+  JOIN dfreq ON dt.term = dfreq.term
+  CROSS JOIN gstats g
+  GROUP BY q.query_id, dt.doc_id
+)
+SELECT doc_id, query_id, rank, score FROM (
+  SELECT doc_id, query_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

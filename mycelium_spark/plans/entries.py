@@ -43,6 +43,7 @@ from ..operators import (
     quantiles,
     recrawl,
     redirects,
+    retrieval,
     sampling,
     similarity,
     soft404,
@@ -1710,6 +1711,31 @@ def multimodal_features_q(spark, sf_dir):
 register("tf_idf", index.tf_idf_sql())(
     lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))
 )
+
+
+# BM25 ranked retrieval (the query side of the index): a 3-query batch
+# over the synthetic corpus vocabulary — a 2-term, a 3-term and a
+# phrase-less single-rare-term query exercise idf spread, length
+# normalization and the doc_id tie-break (scores are exact 1e-6
+# multiples in both engines, so ties are reachable and identical).
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "sort"), (2, "fast"),
+    (3, "spark"), (3, "stream"),
+]
+_BM25_VALUES = "VALUES " + ", ".join(
+    f"({q}, '{t}')" for q, t in _BM25_QUERIES
+)
+
+
+@register("bm25_topk", retrieval.bm25_topk_sql(_BM25_VALUES, k=10))
+def bm25_topk_q(spark, sf_dir):
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return retrieval.bm25_topk(
+        _read(spark, sf_dir, "documents"), queries, k=10
+    )
 
 
 # Sitemap ingestion (sitemaps.org protocol): robots `Sitemap:` lines ->

@@ -1,0 +1,95 @@
+"""BM25 retrieval: value parity against an independent pure-Python
+reference, ranking invariants, and the Catalyst plan shape."""
+
+import math
+
+import pytest
+
+from mycelium_spark.operators import retrieval
+
+
+DOCS = [
+    # doc 0: short, both query terms once → high score on q1
+    (0, "hash join"),
+    # doc 1: long, one term repeated — tf saturation should cap it
+    (1, "hash hash hash hash filler filler filler filler filler filler"),
+    # doc 2: neither term
+    (2, "sort merge window"),
+    # docs 3/4: identical content → identical scores, doc_id tie-break
+    (3, "join table"),
+    (4, "join table"),
+]
+QUERIES = [(1, "hash"), (1, "join")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Independent reference: same formula, same rounding discipline."""
+    toks = {d: [t for t in txt.split(" ") if t.isalnum()] for d, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    for qid, term in queries:
+        for d, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            idf = round(math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5)), 6)
+            tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[(qid, d)] = scores.get((qid, d), 0.0) + round(idf * tfn, 6)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, term string")
+    return {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in retrieval.bm25_topk(docs, qs, k=10).collect()
+    }
+
+
+def test_scores_match_python_reference(result):
+    expect = _py_bm25(DOCS, QUERIES)
+    assert set(result) == set(expect)
+    for key, (_, score) in result.items():
+        assert score == pytest.approx(expect[key], abs=2e-6), key
+
+
+def test_identical_docs_tie_break_by_doc_id(result):
+    r3, s3 = result[(1, 3)]
+    r4, s4 = result[(1, 4)]
+    assert s3 == s4
+    assert r4 == r3 + 1
+
+
+def test_tf_saturation_beats_repetition(result):
+    # doc 0 matches both terms; doc 1 repeats one term in a long doc —
+    # BM25's saturation + length normalization must rank doc 0 first
+    assert result[(1, 0)][0] == 1
+    assert result[(1, 0)][1] > result[(1, 1)][1]
+
+
+def test_k_caps_results(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, term string")
+    top1 = retrieval.bm25_topk(docs, qs, k=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 0
+
+
+def test_plan_broadcasts_queries_no_python(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id long, term string")
+    plan = (
+        retrieval.bm25_topk(docs, qs, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # query table broadcasts
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
