@@ -213,6 +213,167 @@ def trustrank(
     )
 
 
+HITS_SCALE = 10**9  # hub/authority fixed point: 1.0 == 10^9. Chosen so
+# the normalize step's product x*HITS_SCALE (x ≤ HITS_SCALE because
+# edges are distinct and the source vector sums to ≤ HITS_SCALE) stays
+# ≤ 10^18 < 2^63 — BIGINT-safe in both engines.
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = ITERS_DEFAULT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999): mutually-reinforcing hub and
+    authority scores over the S10 link stream — the directory-page /
+    content-page decomposition PageRank's single score conflates.
+    Complements pagerank/trustrank: same edge relation, same driver
+    contract.
+
+    Update (classic, with L1 normalization instead of Kleinberg's L2 —
+    a documented variant that keeps the fixed point in integers; L2
+    needs a sqrt of a global sum, which floor arithmetic can't carry
+    bit-exactly across engines):
+
+        a_i(v) = Σ_{u→v} h_{i-1}(u), then a ← a*SCALE // Σa
+        h_i(u) = Σ_{u→v} a_i(v),     then h ← h*SCALE // Σh
+
+    h_0 = SCALE // N. Edges are DISTINCT pairs; nodes with no
+    out-edges get hub 0, no in-edges authority 0. All arithmetic is
+    non-negative BIGINT floor division — bit-identical in Spark,
+    DuckDB and Python (the pagerank lesson).
+
+    The per-iteration L1 total is a genuinely global scalar. It is NOT
+    collected at the driver: each total is a 1-row aggregate equi-joined
+    back on a constant key with a broadcast hint, so the plan stays a
+    BroadcastHashJoin of one row per iteration — no driver round-trip,
+    no nested-loop join, cluster-safe. Everything else is the pagerank
+    shuffle shape: O(E) equi-joins + map-side-combined groupBys,
+    localCheckpoint per iteration to truncate lineage.
+    """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded one-off driver scalar (pagerank precedent)
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # raw feeds BOTH the total and the normalize probe: materialize it
+        # first or each iteration doubles the recompute of everything
+        # upstream (the union-branch trap — 2^(2·iters) by the last one)
+        raw = raw.localCheckpoint(eager=False)
+        tot = raw.agg(
+            F.lit(1).alias("_k"), F.sum("r").cast("long").alias("_tot")
+        )
+        return (
+            raw.withColumn("_k", F.lit(1))
+            .join(F.broadcast(tot), "_k")
+            .select(
+                "node",
+                F.expr(
+                    f"CASE WHEN _tot = 0 THEN 0L "
+                    f"ELSE (r * {HITS_SCALE}L) div _tot END"
+                ).alias("r"),
+            )
+        )
+
+    h = nodes.withColumn("r", F.lit(HITS_SCALE // n).cast("long"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            nodes.join(
+                e.join(h.selectExpr("node AS src", "r"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("r").cast("long").alias("_s")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_s", F.lit(0).cast("long")).alias("r"))
+        )
+        a = _normalize(a_raw).localCheckpoint(eager=False)
+        h_raw = (
+            nodes.join(
+                e.join(a.selectExpr("node AS dst", "r"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("r").cast("long").alias("_s")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_s", F.lit(0).cast("long")).alias("r"))
+        )
+        h = _normalize(h_raw).localCheckpoint(eager=False)
+    sc = float(HITS_SCALE)
+    return (
+        h.withColumnRenamed("r", "_h")
+        .join(a.withColumnRenamed("r", "_a"), "node")
+        .select(
+            "node",
+            (F.col("_h").cast("double") / F.lit(sc)).alias("hub"),
+            (F.col("_a").cast("double") / F.lit(sc)).alias("authority"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, iters: int = ITERS_DEFAULT) -> str:
+    """DuckDB twin of :func:`hits`: iterations unrolled as chained CTEs,
+    per-iteration totals as scalar subqueries over the raw CTE, the same
+    BIGINT floor arithmetic. Every CTE is MATERIALIZED — each is
+    referenced 3× (next stage + two scalar subqueries), and inlining
+    would re-evaluate the chain exponentially (3^(2·iters)) — the same
+    trap the Spark side avoids with localCheckpoint."""
+    S = HITS_SCALE
+    parts = [
+        f"edges AS MATERIALIZED ( SELECT DISTINCT src, dst FROM ( {edges_sql} ) )",
+        "nodes AS MATERIALIZED ( SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) )",
+        "nn AS MATERIALIZED ( SELECT count(*) AS n FROM nodes )",
+        f"h0 AS MATERIALIZED ( SELECT node, {S} // (SELECT n FROM nn) AS r FROM nodes )",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i + 1}raw AS MATERIALIZED ( SELECT n.node, "
+            f"CAST(coalesce(s.s, 0) AS BIGINT) AS r FROM nodes n LEFT JOIN "
+            f"( SELECT e.dst AS node, CAST(sum(h.r) AS BIGINT) AS s "
+            f"FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst ) s "
+            f"ON n.node = s.node )"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED ( SELECT node, CASE WHEN "
+            f"CAST((SELECT sum(r) FROM a{i + 1}raw) AS BIGINT) = 0 THEN 0 "
+            f"ELSE (r * {S}) // CAST((SELECT sum(r) FROM a{i + 1}raw) AS BIGINT) "
+            f"END AS r FROM a{i + 1}raw )"
+        )
+        parts.append(
+            f"h{i + 1}raw AS MATERIALIZED ( SELECT n.node, "
+            f"CAST(coalesce(s.s, 0) AS BIGINT) AS r FROM nodes n LEFT JOIN "
+            f"( SELECT e.src AS node, CAST(sum(a.r) AS BIGINT) AS s "
+            f"FROM edges e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src ) s "
+            f"ON n.node = s.node )"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED ( SELECT node, CASE WHEN "
+            f"CAST((SELECT sum(r) FROM h{i + 1}raw) AS BIGINT) = 0 THEN 0 "
+            f"ELSE (r * {S}) // CAST((SELECT sum(r) FROM h{i + 1}raw) AS BIGINT) "
+            f"END AS r FROM h{i + 1}raw )"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT h.node, CAST(h.r AS DOUBLE) / {float(S)!r} AS hub, "
+        + f"CAST(a.r AS DOUBLE) / {float(S)!r} AS authority "
+        + f"FROM h{iters} h JOIN a{iters} a ON h.node = a.node"
+    )
+
+
 def trustrank_sql(
     edges_sql: str,
     seeds_sql: str,

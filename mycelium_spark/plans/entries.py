@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import EXTRACT_TYPE, extract_frame, normalize_url_series
 from ..operators import (
     anchors,
+    boilerplate,
     budget,
     canonical,
     classifier,
@@ -1462,6 +1463,60 @@ def pagerank_hosts_q(spark, sf_dir):
 # set); trust concentrates around seed out-neighborhoods and the
 # teleport-starved tail decays toward zero.
 _TR_SEEDS = "SELECT DISTINCT ((doc_id % 97) * (doc_id % 97)) % 97 AS node FROM documents WHERE ((doc_id % 97) * (doc_id % 97)) % 97 < 20"
+
+
+# jusText boilerplate classification: the fixture docs carry no HTML
+# blocks, so a 5-block page is synthesized per doc by an
+# engine-identical constructor — nav menu (link_density 1 → bad),
+# stopword-rich intro (neargood), main body (good, or a low-stopword
+# repeat for doc%3=0 → bad — flips the context for the later blocks),
+# copyright footer (short; linked for doc%5=0 → bad; empty for
+# doc%7=0 → bad), and a raw-vocabulary tail whose class varies with
+# the doc's own words. Both promotion paths (short/neargood → good
+# next to a good body, → bad in the doc%3=0 pages) populate.
+_BP_TEXT = """CASE CAST(block_id AS INT)
+  WHEN 0 THEN 'home products pricing docs blog company careers contact login'
+  WHEN 1 THEN 'the pipeline of spark is scalable and it runs with grace on the web today'
+  WHEN 2 THEN CASE WHEN doc_id % 3 = 0
+      THEN substr(text,1,60) || ' ' || substr(text,1,60) || ' ' || substr(text,1,60) || ' ' || substr(text,1,60)
+      ELSE repeat('the data of spark is fast and it scales to the web ', 5) END
+  WHEN 3 THEN CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'copyright 2026 example corp' END
+  ELSE substr(text, 1, 80)
+END"""
+_BP_LINKS = (
+    "CASE WHEN block_id = 0 THEN length(text) "
+    "WHEN block_id = 3 AND doc_id % 5 = 0 THEN 10 ELSE 0 END"
+)
+_BP_BLOCKS_SQL = f"""
+SELECT doc_id, block_id, text, {_BP_LINKS} AS link_chars
+FROM ( SELECT doc_id, block_id, {_BP_TEXT} AS text
+       FROM documents
+       CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS block_id) )
+"""
+
+
+@register("boilerplate_blocks", boilerplate.classify_blocks_sql(_BP_BLOCKS_SQL))
+def boilerplate_blocks_q(spark, sf_dir):
+    blocks = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("block_id", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .selectExpr("doc_id", "block_id", _BP_TEXT + " AS text")
+        .selectExpr("doc_id", "block_id", "text", _BP_LINKS + " AS link_chars")
+    )
+    return boilerplate.classify_blocks(blocks)
+
+
+# HITS over the same synthetic host graph: hubs (hosts whose out-links
+# hit high-authority pages) vs authorities (hosts the good hubs point
+# at) — the two-score decomposition pagerank conflates. Same
+# engine-identical edge fragment, L1-normalized integer fixed point.
+@register("hits_hosts", linkgraph.hits_sql(_PR_EDGES))
+def hits_hosts_q(spark, sf_dir):
+    edges = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 97 AS src",
+        "((doc_id % 97) * 31 + (doc_id % 3) * 7 + 1) % 97 AS dst",
+    )
+    return linkgraph.hits(edges)
 
 
 @register("trustrank_hosts", linkgraph.trustrank_sql(_PR_EDGES, _TR_SEEDS))
