@@ -30,6 +30,7 @@ from ..operators import (
     decontam,
     dedup,
     delta,
+    domains,
     dsir,
     hll,
     hostreport,
@@ -1463,6 +1464,38 @@ def pagerank_hosts_q(spark, sf_dir):
 # set); trust concentrates around seed out-neighborhoods and the
 # teleport-starved tail decays toward zero.
 _TR_SEEDS = "SELECT DISTINCT ((doc_id % 97) * (doc_id % 97)) % 97 AS node FROM documents WHERE ((doc_id % 97) * (doc_id % 97)) % 97 < 20"
+
+
+# Registered-domain (eTLD+1) extraction: constructed hosts exercise
+# every PSL rule kind — plain TLD, multi-label suffix (co.uk), private
+# suffixes (github.io/blogspot.com), the *.ck wildcard, the !www.ck
+# exception, the unlisted-TLD default, hosts that ARE a public suffix
+# (NULL registered domain), and case folding.
+def _rd_host(str_t: str) -> str:
+    return f"""CASE CAST(doc_id % 9 AS INT)
+  WHEN 0 THEN 'www.site' || CAST(doc_id AS {str_t}) || '.com'
+  WHEN 1 THEN 'a.b.site' || CAST(doc_id AS {str_t}) || '.co.uk'
+  WHEN 2 THEN 'u' || CAST(doc_id AS {str_t}) || '.github.io'
+  WHEN 3 THEN 'www.ck'
+  WHEN 4 THEN 'pages.t' || CAST(doc_id AS {str_t}) || '.ck'
+  WHEN 5 THEN 'site' || CAST(doc_id AS {str_t}) || '.nosuchtld'
+  WHEN 6 THEN 'co.uk'
+  WHEN 7 THEN 'blog' || CAST(doc_id AS {str_t}) || '.BlogSpot.COM'
+  ELSE 'S3.amazonaws.com'
+END"""
+
+
+@register(
+    "registered_domains",
+    domains.registered_domain_sql(
+        f"SELECT {_rd_host('VARCHAR')} AS host FROM documents"
+    ),
+)
+def registered_domains_q(spark, sf_dir):
+    hosts = _read(spark, sf_dir, "documents").selectExpr(
+        _rd_host("STRING") + " AS host"
+    )
+    return domains.registered_domain(hosts)
 
 
 # jusText boilerplate classification: the fixture docs carry no HTML
