@@ -178,6 +178,57 @@ FROM ctx
 """
 
 
+def extract_blocks(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+) -> DataFrame:
+    """→ (doc_id, block_id, text, link_chars): lexer-backed block
+    segmentation of raw HTML pages (functions/blocks.py), the input
+    relation classify_blocks expects. Unparseable/NULL pages yield no
+    blocks.
+
+    Scale shape: mapInPandas — one Arrow-batched pass, rows only fan
+    OUT (page → its blocks), nothing shuffles; Python is unavoidable
+    here because the block source is the parity lexer itself (the same
+    boundary html_extract_text already crosses)."""
+    import pandas as pd
+
+    from ..functions.blocks import html_blocks
+    from ..functions.url import BadUrl
+
+    out_schema = (
+        f"{id_col} long, block_id long, text string, link_chars long"
+    )
+
+    def seg(batches):
+        for pdf in batches:
+            ids, bids, txts, lcs = [], [], [], []
+            urls = pdf[url_col] if url_col else None
+            for i, (doc, html) in enumerate(zip(pdf[id_col], pdf[html_col])):
+                if html is None:
+                    continue
+                try:
+                    blocks = html_blocks(
+                        html, (urls.iloc[i] or b"") if urls is not None else b""
+                    )
+                except (BadUrl, ValueError):
+                    continue
+                for bid, txt, lc in blocks:
+                    ids.append(doc)
+                    bids.append(bid)
+                    txts.append(txt.decode("utf-8", "replace"))
+                    lcs.append(lc)
+            yield pd.DataFrame(
+                {id_col: ids, "block_id": bids, "text": txts,
+                 "link_chars": lcs}
+            )
+
+    cols = [id_col, html_col] + ([url_col] if url_col else [])
+    return pages.select(*cols).mapInPandas(seg, out_schema)
+
+
 def main_content(blocks: DataFrame) -> DataFrame:
     """→ (doc_id, main_text): the good blocks of each doc joined in
     block order with single newlines — the corpus-facing output. Docs

@@ -1498,6 +1498,39 @@ def registered_domains_q(spark, sf_dir):
     return domains.registered_domain(hosts)
 
 
+# HTML block segmentation (the lexer-backed jusText front end):
+# constructed pages — title, linked nav div, body paragraph carrying the
+# doc's own text, footer — have closed-form expected blocks, the
+# html_extract_text oracle pattern. link_chars 9 = len('home')+len('about').
+@register(
+    "html_block_extract",
+    """
+    SELECT doc_id, 0 AS block_id, 'T' || CAST(doc_id AS VARCHAR) AS text,
+           0 AS link_chars FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'home about', 9 FROM documents
+    UNION ALL
+    SELECT doc_id, 2, text, 0 FROM documents
+    UNION ALL
+    SELECT doc_id, 3, 'copyright 2026 example corp', 0 FROM documents
+    """,
+)
+def html_block_extract_q(spark, sf_dir):
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>T'), F.col("doc_id").cast("string"),
+            F.lit('</title></head><body>'),
+            F.lit('<div><a href="/a">home</a> <a href="/b">about</a></div>'),
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            F.lit("<p>copyright 2026 example corp</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    return boilerplate.extract_blocks(pages).select(
+        "block_id", "doc_id", "link_chars", "text"
+    )
+
+
 # jusText boilerplate classification: the fixture docs carry no HTML
 # blocks, so a 5-block page is synthesized per doc by an
 # engine-identical constructor — nav menu (link_density 1 → bad),
@@ -1528,15 +1561,37 @@ FROM ( SELECT doc_id, block_id, {_BP_TEXT} AS text
 """
 
 
-@register("boilerplate_blocks", boilerplate.classify_blocks_sql(_BP_BLOCKS_SQL))
-def boilerplate_blocks_q(spark, sf_dir):
-    blocks = (
+def _bp_blocks(spark, sf_dir):
+    return (
         _read(spark, sf_dir, "documents")
         .withColumn("block_id", F.explode(F.sequence(F.lit(0), F.lit(4))))
         .selectExpr("doc_id", "block_id", _BP_TEXT + " AS text")
         .selectExpr("doc_id", "block_id", "text", _BP_LINKS + " AS link_chars")
     )
-    return boilerplate.classify_blocks(blocks)
+
+
+@register("boilerplate_blocks", boilerplate.classify_blocks_sql(_BP_BLOCKS_SQL))
+def boilerplate_blocks_q(spark, sf_dir):
+    return boilerplate.classify_blocks(_bp_blocks(spark, sf_dir))
+
+
+# The corpus-facing composition: good blocks reassembled in block order
+# (docs whose blocks are all boilerplate drop out). The oracle nests the
+# classification twin and recomposes with an ordered string_agg.
+@register(
+    "boilerplate_main",
+    f"""
+WITH blocks AS MATERIALIZED ( {_BP_BLOCKS_SQL} ),
+cls AS ( {boilerplate.classify_blocks_sql('SELECT * FROM blocks')} )
+SELECT b.doc_id,
+       string_agg(b.text, chr(10) ORDER BY b.block_id) AS main_text
+FROM blocks b JOIN cls c ON b.doc_id = c.doc_id AND b.block_id = c.block_id
+WHERE c.keep
+GROUP BY b.doc_id
+""",
+)
+def boilerplate_main_q(spark, sf_dir):
+    return boilerplate.main_content(_bp_blocks(spark, sf_dir))
 
 
 # HITS over the same synthetic host graph: hubs (hosts whose out-links
