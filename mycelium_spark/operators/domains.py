@@ -139,6 +139,70 @@ def registered_domain(hosts: DataFrame, host_col: str = "host") -> DataFrame:
     )
 
 
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` documents per registered
+    domain (the Gopher/C4 convention — one mega-site must not dominate
+    the corpus mix). Selection is deterministic and order-free: docs
+    rank by md5 of their id within their eTLD+1, so both engines keep
+    the identical subset regardless of scan order.
+
+    → (doc_id, registered_domain, dom_rank, keep). Hosts that ARE a
+    public suffix (NULL registered domain) group under their own host
+    string — they are real sites, not droppable artifacts.
+
+    Scale shape: registered_domain's broadcast rule joins, then ONE
+    shuffle on the domain key; the rank window is per-domain with a
+    WindowGroupLimit pushdown (rank ≤ cap prunes map-side), so a
+    10^8-page domain contributes cap survivors without a full sort of
+    its partition reaching the reducer.
+    """
+    rd = registered_domain(
+        docs.select(F.col(host_col).alias("host")).distinct()
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.lower(F.col(host_col)).alias("host"),
+    ).join(rd, "host")
+    dom = F.coalesce("registered_domain", "host")
+    w = Window.partitionBy(dom).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return d.select(
+        id_col,
+        dom.alias("registered_domain"),
+        F.row_number().over(w).cast("long").alias("dom_rank"),
+    ).withColumn("keep", F.col("dom_rank") <= cap)
+
+
+def cap_per_domain_sql(docs_sql: str, cap: int) -> str:
+    """DuckDB twin over any (doc_id, host) relation."""
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(host) AS host
+  FROM ( {docs_sql} )
+),
+rd AS MATERIALIZED (
+  {registered_domain_sql("SELECT DISTINCT host FROM d")}
+),
+ranked AS (
+  SELECT d.doc_id,
+         coalesce(rd.registered_domain, d.host) AS registered_domain,
+         CAST(row_number() OVER (
+           PARTITION BY coalesce(rd.registered_domain, d.host)
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+         ) AS BIGINT) AS dom_rank
+  FROM d JOIN rd ON d.host = rd.host
+)
+SELECT doc_id, registered_domain, dom_rank, dom_rank <= {cap} AS keep
+FROM ranked
+"""
+
+
 def registered_domain_sql(hosts_sql: str) -> str:
     """DuckDB twin over any relation with a ``host`` column: the same
     candidate explode, broadcast-shaped rule joins, window selection."""

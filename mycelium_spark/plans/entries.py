@@ -1498,6 +1498,24 @@ def registered_domains_q(spark, sf_dir):
     return domains.registered_domain(hosts)
 
 
+# Domain balancing over the same constructed hosts: the constant-host
+# branches (www.ck, co.uk, s3.amazonaws.com) pool ~1/9 of the corpus
+# each and overflow the cap (drops), the per-doc-unique hosts keep at
+# rank 1, and the wildcard/exception grouping is exercised end-to-end.
+@register(
+    "domain_cap_sample",
+    domains.cap_per_domain_sql(
+        f"SELECT doc_id, {_rd_host('VARCHAR')} AS host FROM documents",
+        cap=40,
+    ),
+)
+def domain_cap_sample_q(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _rd_host("STRING") + " AS host"
+    )
+    return domains.cap_per_domain(d, cap=40)
+
+
 # HTML block segmentation (the lexer-backed jusText front end):
 # constructed pages — title, linked nav div, body paragraph carrying the
 # doc's own text, footer — have closed-form expected blocks, the

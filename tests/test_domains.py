@@ -59,6 +59,45 @@ def test_duplicate_hosts_keep_row_count(spark):
     assert domains.registered_domain(h).count() == 3
 
 
+def test_cap_per_domain(spark):
+    rows = [(i, "www.example.com" if i < 8 else f"u{i}.github.io")
+            for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, host string")
+    out = domains.cap_per_domain(d, cap=3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["registered_domain"], []).append(r)
+    # 8 docs in example.com -> exactly 3 kept; singleton domains all keep
+    ex = by_dom["example.com"]
+    assert len(ex) == 8 and sum(r["keep"] for r in ex) == 3
+    assert sorted(r["dom_rank"] for r in ex) == list(range(1, 9))
+    for i in range(8, 12):
+        dom = f"u{i}.github.io"
+        assert [r["keep"] for r in by_dom[dom]] == [True]
+    # selection is the deterministic md5 order, not insertion order
+    kept = sorted(r["doc_id"] for r in ex if r["keep"])
+    import hashlib
+    expect = sorted(
+        sorted(range(8), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:3]
+    )
+    assert kept == expect
+
+
+def test_cap_duckdb_twin(spark):
+    rows = [(i, "www.example.com" if i < 8 else "that.ck")
+            for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, host string")
+    got = sorted(
+        (r["doc_id"], r["registered_domain"], r["dom_rank"], r["keep"])
+        for r in domains.cap_per_domain(d, cap=3).collect()
+    )
+    values = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{h}' AS host" for i, h in rows
+    )
+    duck = sorted(duckdb.sql(domains.cap_per_domain_sql(values, cap=3)).fetchall())
+    assert duck == got
+
+
 def test_plan_broadcasts_rules_no_python(spark):
     h = spark.createDataFrame([(v[0],) for v in VECTORS], "host string")
     plan = (
