@@ -116,3 +116,68 @@ SELECT l.canon_key, g.group_size,
        l.url
 FROM links l JOIN groups g ON l.canon_key = g.canon_key
 """
+
+
+# ---------------------------------------------------------------------
+# Tracking-parameter stripping → URL dedup keys
+# ---------------------------------------------------------------------
+
+# The cross-site tracking/click-id parameters every pipeline strips
+# before URL-level dedup (the C4/CC convention — analytics params make
+# every shared link a distinct URL without changing the content).
+# Public, stable set: Google Analytics utm_*, Google/Microsoft/Facebook
+# click ids, Mailchimp ids, Instagram share id.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+)
+
+
+def dedup_key_expr(url: str, dialect: str = "spark") -> str:
+    """One whole-stage-codegen expression producing the URL dedup key:
+    fragment dropped, tracking params removed, surviving query params
+    sorted (order variants collapse), '?' dropped when nothing remains.
+    Scheme/host/path bytes are untouched — case and escaping belong to
+    url_normalize (F1-F8), which composes BEFORE this.
+
+    The param key is taken portably via instr/substr (array subscripts
+    are 0-based in Spark SQL but 1-based in DuckDB — never index)."""
+    key = (
+        "lower(CASE WHEN instr(p, '=') > 0 "
+        "THEN substr(p, 1, instr(p, '=') - 1) ELSE p END)"
+    )
+    inlist = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    pred = f"p <> '' AND NOT {key} IN ({inlist})"
+    if dialect == "spark":
+        kept = f"array_sort(filter(split(q, '&'), p -> {pred}))"
+        joined = f"array_join({kept}, '&')"
+    else:
+        kept = f"list_sort(list_filter(string_split(q, '&'), p -> {pred}))"
+        # array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+        # array_join gives '') — coalesce or the no-survivor branch nulls
+        joined = f"coalesce(array_to_string({kept}, '&'), '')"
+    base = (
+        f"CASE WHEN instr({url}, '#') > 0 "
+        f"THEN substr({url}, 1, instr({url}, '#') - 1) ELSE {url} END"
+    )
+    return f"""(
+  SELECT CASE WHEN q = '' THEN head
+              WHEN {joined} = '' THEN head
+              ELSE head || '?' || {joined} END
+  FROM (
+    SELECT CASE WHEN instr(b, '?') > 0 THEN substr(b, 1, instr(b, '?') - 1)
+                ELSE b END AS head,
+           CASE WHEN instr(b, '?') > 0 THEN substr(b, instr(b, '?') + 1)
+                ELSE '' END AS q
+    FROM (SELECT {base} AS b)
+  )
+)"""
+
+
+def url_dedup_key(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """→ input + ``dedup_key``: the tracking-stripped, param-sorted,
+    fragment-free key. Pure projection — no shuffle at any scale; the
+    seen set / exact dedup keys on the result instead of the raw URL."""
+    return pages.withColumn(
+        "dedup_key", F.expr(dedup_key_expr(url_col, "spark"))
+    )

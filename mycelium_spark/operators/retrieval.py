@@ -59,7 +59,10 @@ def bm25_topk(
     query_id in ``queries`` (query_id, term), BM25-ranked. Duplicate
     (query_id, term) rows are deduplicated — BM25 is a set-of-terms
     model here (no query-side tf), matching the oracle."""
-    dt = doc_terms(docs, text_col, id_col)  # (doc_id, term, tf)
+    # dt feeds FOUR consumers (dlen, dfreq, the scored join, and the
+    # Σdl driver scalar) — cache it or the tokenize explode recomputes
+    # per branch (the tf_idf precedent; a persisted index table in prod)
+    dt = doc_terms(docs, text_col, id_col).cache()  # (doc_id, term, tf)
     dlen = dt.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # bounded driver scalars, one per index build (tf_idf precedent):

@@ -1498,6 +1498,38 @@ def registered_domains_q(spark, sf_dir):
     return domains.registered_domain(hosts)
 
 
+# Tracking-param stripping → URL dedup keys: constructed URLs exercise
+# utm/click-id removal, param-order collapsing (b=2&a=1 and a=1&b=2 meet
+# on one key), fragment drop, empty-param drop, and untouched clean
+# URLs. Oracle = the same expression in the DuckDB dialect.
+def _ddk_url(str_t: str) -> str:
+    return (
+        f"'http://h' || CAST(doc_id % 50 AS {str_t}) || '.example/p' || "
+        f"CAST(doc_id % 100 AS {str_t}) || "
+        "CASE CAST(doc_id % 6 AS INT) "
+        f"WHEN 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id AS {str_t}) || '&x=1' "
+        "WHEN 1 THEN '?x=1' "
+        "WHEN 2 THEN '?b=2&a=1#sec' "
+        "WHEN 3 THEN '?a=1&b=2' "
+        f"WHEN 4 THEN '?fbclid=f' || CAST(doc_id AS {str_t}) || '&' "
+        "ELSE '' END"
+    )
+
+
+@register(
+    "url_dedup_keys",
+    f"""
+SELECT doc_id, url, {canonical.dedup_key_expr('url', 'duckdb')} AS dedup_key
+FROM (SELECT doc_id, {_ddk_url('VARCHAR')} AS url FROM documents)
+""",
+)
+def url_dedup_keys_q(spark, sf_dir):
+    pages = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _ddk_url("STRING") + " AS url"
+    )
+    return canonical.url_dedup_key(pages)
+
+
 # Domain balancing over the same constructed hosts: the constant-host
 # branches (www.ck, co.uk, s3.amazonaws.com) pool ~1/9 of the corpus
 # each and overflow the cap (drops), the per-doc-unique hosts keep at
