@@ -1498,6 +1498,51 @@ def registered_domains_q(spark, sf_dir):
     return domains.registered_domain(hosts)
 
 
+# Composed search pipeline: constructed pages → lexer block extraction
+# → jusText classification → main-content reassembly → BM25 over the
+# CLEANED text (the boilerplate-aware index build). Block classes are
+# engineered: title short→bad (bad nav neighbor), nav bad (links),
+# stopword-rich intro neargood→good (good body neighbor), body good
+# (12× stopword-dense sentence + the doc's own text keeps density
+# ≥0.32 at every fixture length), footer short→good — so main_text has
+# the closed form intro\nbody\nfooter and the oracle feeds it to the
+# BM25 twin directly.
+_SP_INTRO = "the pipeline of spark is scalable and it runs with grace on the web today"
+_SP_SENT = "the data of spark is fast and it scales to the web "
+
+
+@register(
+    "search_pipeline",
+    f"""
+WITH main_docs AS MATERIALIZED (
+  SELECT doc_id,
+         '{_SP_INTRO}' || chr(10) ||
+         rtrim(repeat('{_SP_SENT}', 12)) || ' ' || text || chr(10) ||
+         'copyright 2026 example corp' AS text
+  FROM documents
+)
+SELECT * FROM ( {{bm25}} )
+""".format(bm25=retrieval.bm25_topk_sql("VALUES (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'sort'), (2, 'fast'), (3, 'spark'), (3, 'stream')", k=10, source="main_docs")),
+)
+def search_pipeline_q(spark, sf_dir):
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body>"),
+            F.lit('<div><a href="/a">home</a> <a href="/b">about</a></div>'),
+            F.lit(f"<p>{_SP_INTRO}</p>"),
+            F.lit("<p>" + _SP_SENT * 12), F.col("text"), F.lit("</p>"),
+            F.lit("<p>copyright 2026 example corp</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    main = boilerplate.main_content(boilerplate.extract_blocks(pages))
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return retrieval.bm25_topk(main, queries, k=10, text_col="main_text")
+
+
 # Tracking-param stripping → URL dedup keys: constructed URLs exercise
 # utm/click-id removal, param-order collapsing (b=2&a=1 and a=1&b=2 meet
 # on one key), fragment drop, empty-param drop, and untouched clean
