@@ -437,6 +437,110 @@ WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
 """
 
 
+def containment_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.9,
+    text_col: str = "text", id_col: str = "doc_id", max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997's second resemblance
+    measure): C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    quote/aggregator case symmetric Jaccard misses (a short doc pasted
+    into a long roundup scores tiny Jaccard but containment ~1).
+
+    → directed (contained, container, containment) rows with
+    containment >= threshold; both directions of each candidate pair
+    are evaluated (near-equal docs emit both). Docs shorter than k
+    tokens carry the kernel's single whole-doc shingle, so exact short
+    dups still pair (containment 1.0) while differing shorts never do.
+
+    Scale shape: identical to ngram_jaccard_pairs (same blocking
+    self-join on shingle hash, same optional df-pruning riding that
+    shuffle); the direction split is a per-row explode of a 2-struct
+    array AFTER the verify join — no extra shuffle, no second pass.
+    """
+    shingle_sets = docs.select(
+        F.col(id_col),
+        F.expr("array_distinct(" + shingles_expr(f"split({text_col}, ' ')", k) + ")").alias("ss"),
+    ).cache()
+    melted = shingle_sets.select(id_col, F.explode("ss").alias("sh"))
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        melted = (
+            melted.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    pairs = (
+        melted.alias("x")
+        .join(melted.alias("y"), "sh")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        pairs.join(shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("ss", "ss_a"), "id_a")
+        .join(shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("ss", "ss_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ss_a", "ss_b")))
+    )
+    return scored.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("contained"),
+                        F.col("id_b").alias("container"),
+                        F.round(F.col("inter") / F.size("ss_a"), 6).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("contained"),
+                        F.col("id_a").alias("container"),
+                        F.round(F.col("inter") / F.size("ss_b"), 6).alias("containment"),
+                    ),
+                ),
+                lambda s: s["containment"] >= threshold,
+            )
+        ).alias("d")
+    ).select("d.contained", "d.container", "d.containment")
+
+
+def containment_sql(
+    k: int = 3, threshold: float = 0.9, source: str = "documents",
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` over any (doc_id, text)
+    relation."""
+    sh = shingles_sql("toks", k)
+    prune = (
+        f"WHERE sh NOT IN (SELECT sh FROM melted GROUP BY sh HAVING count(*) > {max_df})"
+        if max_df is not None
+        else ""
+    )
+    return f"""
+WITH ssets AS MATERIALIZED (
+  SELECT doc_id, list_distinct({sh}) AS ss
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ( SELECT * FROM {source} ))
+), melted AS MATERIALIZED (
+  SELECT doc_id, unnest(ss) AS sh FROM ssets
+), pruned AS (
+  SELECT doc_id, sh FROM melted {prune}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM pruned x JOIN pruned y ON x.sh = y.sh AND x.doc_id < y.doc_id
+), scored AS MATERIALIZED (
+  SELECT id_a, id_b,
+         len(list_intersect(a.ss, b.ss)) AS inter,
+         len(a.ss) AS na, len(b.ss) AS nb
+  FROM pairs JOIN ssets a ON pairs.id_a = a.doc_id
+             JOIN ssets b ON pairs.id_b = b.doc_id
+)
+SELECT contained, container, containment FROM (
+  SELECT id_a AS contained, id_b AS container,
+         round(CAST(inter AS DOUBLE) / na, 6) AS containment FROM scored
+  UNION ALL
+  SELECT id_b, id_a, round(CAST(inter AS DOUBLE) / nb, 6) FROM scored
+) WHERE containment >= {threshold}
+"""
+
+
 # ------------------------------------------------- repeated spans ---------
 def repeated_spans(
     docs: DataFrame, k: int = 5, min_df: int = 2,

@@ -681,6 +681,32 @@ register("ngram_jaccard_dedup", dedup.ngram_jaccard_sql(5, 0.4, max_df=50))(
         _read(spark, sf_dir, "documents"), 5, 0.4, max_df=50
     )
 )
+# Asymmetric containment (the quote/aggregator case): every 13th doc
+# gains a synthetic "roundup" twin (id+1000000) = its text plus an
+# editorial tail, so the original is fully contained (containment 1.0)
+# while Jaccard between the two stays well under the dedup thresholds;
+# the corpus's planted near-dup pairs exercise the both-directions path.
+_CONTAIN_TAIL = "' with extra editorial commentary appended for context here'"
+_CONTAIN_SRC = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + 1000000, text || {_CONTAIN_TAIL} "
+    "FROM documents WHERE doc_id % 13 = 0"
+)
+
+
+@register(
+    "containment_dedup",
+    dedup.containment_sql(5, 0.9, source=f"( {_CONTAIN_SRC} )", max_df=50),
+)
+def containment_dedup_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    agg = docs.filter("doc_id % 13 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", f"text || {_CONTAIN_TAIL} AS text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(agg)
+    return dedup.containment_pairs(corpus, 5, 0.9, max_df=50)
+
+
 register("embedding_neardup", dedup.embedding_neardup_sql(0.3))(
     lambda spark, sf_dir: dedup.embedding_neardup_pairs(
         _read(spark, sf_dir, "embeddings"), 0.3
