@@ -27,6 +27,7 @@ from ..operators import (
     canonical,
     classifier,
     clusters,
+    cooccur,
     decontam,
     dedup,
     delta,
@@ -1972,6 +1973,30 @@ def multimodal_features_q(spark, sf_dir):
     return extract_features(blobs, dim=8).select(
         "blob_id", F.round(F.col("feat_norm").cast("double"), 4).alias("feat_norm")
     )
+# PMI term co-occurrence: corpus-relative gates (6%/79% df band, 20%
+# pair floor — integer floor arithmetic in both engines) so one oracle
+# string holds at every SF; at sf0.01 the band drops the rare planted
+# 'dup' marker AND the five most ubiquitous vocabulary words, so both
+# gate branches populate.
+@register(
+    "term_pmi",
+    cooccur.cooccurrence_pmi_sql(
+        min_df="(6 * (SELECT n FROM nn)) // 100",
+        max_df="(79 * (SELECT n FROM nn)) // 100",
+        min_pair="(20 * (SELECT n FROM nn)) // 100",
+    ),
+)
+def term_pmi_q(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.select("doc_id").distinct().count()
+    return cooccur.cooccurrence_pmi(
+        docs,
+        min_df=(6 * n) // 100,
+        max_df=(79 * n) // 100,
+        min_pair=(20 * n) // 100,
+    )
+
+
 register("tf_idf", index.tf_idf_sql())(
     lambda spark, sf_dir: index.tf_idf(_read(spark, sf_dir, "documents"))
 )
