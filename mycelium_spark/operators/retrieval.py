@@ -153,3 +153,56 @@ SELECT doc_id, query_id, rank, score FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def phrase_match_expr(phrase: str, toks: str = "split(text, ' ')") -> str:
+    """Spark SQL expression counting ADJACENT-token occurrences of
+    ``phrase`` (space-separated words) in the token array — the phrase
+    query a positional index answers. One per-row expression: no
+    shuffle, no explode; positions are RAW space-split offsets so
+    token adjacency equals substring adjacency on single-spaced text.
+
+    Counts every start offset, so self-overlapping phrases ('a a' in
+    'a a a' -> 2) count overlaps — the positional-index convention."""
+    words = phrase.split(" ")
+    k = len(words)
+    conj = " AND ".join(
+        f"element_at({toks}, i + {j}) = '{w}'" for j, w in enumerate(words)
+    )
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — the CASE
+    # keeps short docs out of it entirely
+    return (
+        f"CASE WHEN size({toks}) < {k} THEN 0L ELSE "
+        f"CAST(size(filter(sequence(1, size({toks}) - {k} + 1), i -> {conj})) AS BIGINT) "
+        f"END"
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_matches) for docs containing ``phrase`` as adjacent
+    tokens at least once. Two chained projections (tokenize, then the
+    positional scan) — still one codegen stage, no shuffle."""
+    return (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("_t"))
+        .select(id_col, F.expr(phrase_match_expr(phrase, "_t")).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def phrase_match_sql(phrase: str, source: str = "documents") -> str:
+    """INDEPENDENT-method DuckDB oracle: non-overlapping substring
+    count via split on the padded phrase — a different algorithm that
+    must agree with the positional scan whenever the phrase cannot
+    overlap itself (distinct words) and text is single-spaced."""
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(' ' || text || ' ', ' {phrase} ')) - 1 AS BIGINT)
+         AS n_matches
+FROM {source}
+WHERE len(string_split(' ' || text || ' ', ' {phrase} ')) > 1
+"""

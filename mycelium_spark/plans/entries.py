@@ -1973,6 +1973,18 @@ def multimodal_features_q(spark, sf_dir):
     return extract_features(blobs, dim=8).select(
         "blob_id", F.round(F.col("feat_norm").cast("double"), 4).alias("feat_norm")
     )
+# Phrase matching (the positional-index query): the engine runs the
+# per-row adjacent-token scan; the oracle counts by an INDEPENDENT
+# method — splitting on the padded phrase substring — so agreement
+# cross-validates the algorithm, not just the dialect ('hash join'
+# cannot self-overlap, where the two methods provably coincide).
+register("phrase_match", retrieval.phrase_match_sql("hash join"))(
+    lambda spark, sf_dir: retrieval.phrase_match(
+        _read(spark, sf_dir, "documents"), "hash join"
+    )
+)
+
+
 # PMI term co-occurrence: corpus-relative gates (6%/79% df band, 20%
 # pair floor — integer floor arithmetic in both engines) so one oracle
 # string holds at every SF; at sf0.01 the band drops the rare planted

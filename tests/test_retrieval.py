@@ -93,3 +93,41 @@ def test_plan_broadcasts_queries_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def test_phrase_match_counts_and_overlaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a hash join b hash join"),   # two occurrences
+            (2, "hash x join"),               # words present, not adjacent
+            (3, "join hash"),                 # wrong order
+            (4, "a a a"),                     # self-overlapping phrase case
+            (5, "hash"),                      # shorter than the phrase
+        ],
+        "doc_id long, text string",
+    )
+    from mycelium_spark.operators.retrieval import phrase_match
+
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_match(docs, "hash join").collect()}
+    assert got == {1: 2}
+    # the positional convention counts overlapping starts
+    overlap = {r["doc_id"]: r["n_matches"]
+               for r in phrase_match(docs, "a a").collect()}
+    assert overlap[4] == 2
+
+
+def test_phrase_match_plan_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    from mycelium_spark.operators.retrieval import phrase_match
+
+    plan = (
+        phrase_match(docs, "x y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
