@@ -337,6 +337,50 @@ def assign_seq_job(spark, data_dir: str, n_rows: int, legacy: bool = False) -> d
             "rows_per_sec": round((int(n) + 1) / wall, 1)}
 
 
+def block_extract_job(spark, n_pages: int = 100_000) -> dict:
+    """Boilerplate pipeline at bench scale: constructed HTML pages
+    (title/nav/intro/body/footer — the search_pipeline shape, body text
+    varied per id) through lexer block extraction (mapInPandas), jusText
+    classification and main-content reassembly. Run at two sizes for the
+    linearity leg: the Python stage is a per-page map with no shuffle, so
+    wall should scale ~linearly in pages."""
+    from pyspark.sql import functions as F
+
+    from mycelium_spark.operators.boilerplate import extract_blocks, main_content
+
+    idc = F.col("id")
+    body = "<p>" + "the data of spark is fast and it scales to the web " * 12
+    pages = spark.range(n_pages).select(
+        idc.alias("doc_id"),
+        F.concat(
+            F.lit("<html><head><title>T"), idc.cast("string"),
+            F.lit("</title></head><body>"),
+            F.lit('<div><a href="/a">home</a> <a href="/b">about</a></div>'),
+            F.lit("<p>the pipeline of spark is scalable and it runs with grace on the web today</p>"),
+            F.lit(body), F.lit("tok"), idc.cast("string"), F.lit(" filler"),
+            (idc % 97).cast("string"), F.lit("</p>"),
+            F.lit("<p>copyright 2026 example corp</p></body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    t0 = time.time()
+    row = (
+        main_content(extract_blocks(pages))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("main_text")).alias("main_bytes"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    return {
+        "n_pages": n_pages,
+        "wall_sec": round(wall, 3),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "docs_out": int(row["n"]),
+        "main_bytes": int(row["main_bytes"]),
+    }
+
+
 def warc_io_job(spark, data_dir: str, out_dir: str, n_files: int = 64) -> dict:
     """Archived-crawl I/O at page scale: WET sink (JVM framing, one gzip
     member per record, one file per partition) over the full pages
@@ -581,6 +625,14 @@ def main() -> None:
                     result["warc_io_scale"] = _one_shot(
                         warc_io_job, s, tmp, f"{tmp}/wet_out"
                     )
+                    # 1x/4x linearity of the boilerplate (mapInPandas) path;
+                    # an untimed warm-up first — the cold call pays ~10 s of
+                    # Arrow/codegen setup that would swamp the small leg
+                    block_extract_job(s, 10_000)
+                    result["boilerplate_scale"] = {
+                        "small": _one_shot(block_extract_job, s, 100_000),
+                        "large": _one_shot(block_extract_job, s, 400_000),
+                    }
                 s.stop()
             if len(core_list) == 2:
                 env = python_envelope(small, CPUS)

@@ -84,3 +84,21 @@ def test_extract_blocks_feeds_classifier(spark):
     }
     # title/footer short, nav short-but-linked -> bad, body short (<70)
     assert cls == {0: "short", 1: "bad", 2: "short", 3: "short"}
+
+
+def test_reconstruction_invariant_over_synth_corpus():
+    # property pin over the REAL crawl corpus generator: for every page
+    # the block texts are a partition of the parity lexer's whole-text
+    # emission (none of the 200 synthetic pages, with their nav/para/link
+    # structure, may fuse or drop a word)
+    from mycelium_spark.sources import synth
+
+    n = 200
+    for pid in range(n):
+        html = synth.page_html(pid, n, extra_paras=pid % 3)
+        blocks = html_blocks(html)
+        joined = b" ".join(t for _, t, _ in blocks)
+        assert joined == b" ".join(html_lex(html).text.split()), pid
+        # link accounting never exceeds the block's raw text mass
+        for _, t, lc in blocks:
+            assert 0 <= lc <= max(len(t) + 64, 64), (pid, t, lc)
