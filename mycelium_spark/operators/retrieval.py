@@ -206,3 +206,72 @@ SELECT doc_id,
 FROM {source}
 WHERE len(string_split(' ' || text || ' ', ' {phrase} ')) > 1
 """
+
+
+def phrase_snippet_expr(
+    phrase: str, window: int = 5, toks: str = "_t"
+) -> str:
+    """Spark SQL expression producing the KWIC snippet — ``window``
+    tokens of context on each side of the FIRST phrase occurrence
+    (empty string when the phrase does not occur). Pure per-row array
+    ops over an already-split token column; pairs with
+    phrase_match_expr for the result-page surface."""
+    words = phrase.split(" ")
+    k = len(words)
+    conj = " AND ".join(
+        f"element_at({toks}, i + {j}) = '{w}'" for j, w in enumerate(words)
+    )
+    starts = (
+        f"CASE WHEN size({toks}) < {k} THEN array() ELSE "
+        f"filter(sequence(1, size({toks}) - {k} + 1), i -> {conj}) END"
+    )
+    i1 = f"element_at({starts}, 1)"
+    lo = f"greatest({i1} - {window}, 1)"
+    return (
+        f"CASE WHEN size({starts}) = 0 THEN '' ELSE "
+        f"array_join(slice({toks}, {lo}, "
+        f"{i1} - {lo} + {k} + {window}), ' ') END"
+    )
+
+
+def phrase_snippets(
+    docs: DataFrame,
+    phrase: str,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, snippet) for docs matching ``phrase``: the first
+    occurrence with ``window`` tokens of context each side."""
+    return (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            id_col,
+            F.expr(phrase_snippet_expr(phrase, window, "_t")).alias("snippet"),
+        )
+        .filter(F.col("snippet") != "")
+    )
+
+
+def phrase_snippets_sql(
+    phrase: str, window: int = 5, source: str = "documents"
+) -> str:
+    """DuckDB twin: same first-match + slice logic in list dialect."""
+    words = phrase.split(" ")
+    k = len(words)
+    conj = " AND ".join(f"_t[i + {j}] = '{w}'" for j, w in enumerate(words))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS _t FROM {source}
+), m AS (
+  SELECT doc_id, _t,
+         CASE WHEN len(_t) < {k} THEN [] ELSE
+           list_filter(range(1, len(_t) - {k} + 2), i -> {conj}) END AS starts
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(list_slice(_t,
+         greatest(starts[1] - {window}, 1),
+         starts[1] + {k} - 1 + {window}), ' ') AS snippet
+FROM m WHERE len(starts) > 0
+"""

@@ -1985,6 +1985,15 @@ register("phrase_match", retrieval.phrase_match_sql("hash join"))(
 )
 
 
+# KWIC snippets for the phrase hits (the result-page surface): first
+# occurrence ± 4 tokens of context, per-row array ops in both engines.
+register("phrase_snippets", retrieval.phrase_snippets_sql("hash join", 4))(
+    lambda spark, sf_dir: retrieval.phrase_snippets(
+        _read(spark, sf_dir, "documents"), "hash join", 4
+    )
+)
+
+
 # PMI term co-occurrence: corpus-relative gates (6%/79% df band, 20%
 # pair floor — integer floor arithmetic in both engines) so one oracle
 # string holds at every SF; at sf0.01 the band drops the rare planted

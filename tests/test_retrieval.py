@@ -131,3 +131,26 @@ def test_phrase_match_plan_no_shuffle(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_phrase_snippets(spark):
+    from mycelium_spark.operators.retrieval import phrase_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 hash join w5 w6 w7 w8"),  # both sides clipped
+            (2, "hash join tail"),                      # at the start
+            (3, "lead hash join"),                      # at the end
+            (4, "nothing to see"),                      # filtered out
+            (5, "hash join mid hash join"),             # FIRST occurrence only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["snippet"]
+           for r in phrase_snippets(docs, "hash join", window=3).collect()}
+    assert got == {
+        1: "w2 w3 w4 hash join w5 w6 w7",
+        2: "hash join tail",
+        3: "lead hash join",
+        5: "hash join mid hash join",
+    }
