@@ -37,6 +37,32 @@ def _ensure_workers_have_package(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(_PKG_ZIP)
     except Exception:
         pass  # already added to this context
+    _tune_session(spark)
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Plan-quality session settings (spark_optimization_guide §3.1/§9).
+
+    Scale-safe — none of these depend on the local core count, and all are
+    env-overridable. Results are unaffected (join strategy and rank-limit
+    pushdown are semantics-preserving); they change only the physical plan:
+
+    * preferSortMergeJoin=false lets the planner pick a shuffled-hash join
+      when its size guard holds (skips two whole-side sorts; guard bounds
+      the build-side hash map, so it stays safe as inputs grow);
+    * windowGroupLimitThreshold covers `row_number() <= k` filters up to
+      the politeness budget (default threshold 1000 is below it); the
+      pushdown's per-task state is bounded by k rows per group.
+    """
+    for conf, default in (
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        ("spark.sql.optimizer.windowGroupLimitThreshold", "8192"),
+    ):
+        key = "SPARK_GRAFT_" + conf.rsplit(".", 1)[-1].upper()
+        try:
+            spark.conf.set(conf, os.environ.get(key, default))
+        except Exception:
+            pass  # read-only conf on this build: keep defaults
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -207,7 +207,7 @@ class HtmlLexer:
     __slots__ = (
         "buf", "pos", "cond", "tokens", "text_parts", "links", "warnings",
         "analysis", "base_url", "get_text", "get_title", "inlink",
-        "link_nofollow", "did_word_break", "cur_url", "cur_txt",
+        "link_nofollow", "did_word_break", "cur_url", "cur_txt", "fast",
     )
 
     def __init__(self, buf: bytes, base_url: Url | None):
@@ -228,26 +228,41 @@ class HtmlLexer:
         self.did_word_break = False
         self.cur_url = b""
         self.cur_txt = b""
+        # inlined-dispatch fast paths are only sound when process() is
+        # not overridden (the block segmenter subclass hooks it)
+        self.fast = type(self).process is HtmlLexer.process
 
     # --- main loop ---
     def run(self) -> None:
         buf = self.buf
         n = len(buf)
-        rules = _RULES
+        find = buf.find
         while self.pos < n:
             pos = self.pos
             cond = self.cond
             if cond == INITIAL:
                 c = buf[pos]
                 if c != 0x3C and c != 0x5D:  # not '<' nor ']' → data fast path
-                    end = buf.find(b"<", pos)
+                    end = find(b"<", pos)
                     if end == -1:
                         end = n
-                    self._data(buf[pos:end])
                     self.pos = end
+                    # inline _data+process for the common no-pending-token
+                    # case (a queued token — e.g. the </script> END — must
+                    # keep driving dispatch, so fall back when one exists)
+                    if self.tokens or not self.fast:
+                        self._data(buf[pos:end])
+                    elif self.get_text:
+                        content = replace_all_entities(buf[pos:end])
+                        if self.get_title:
+                            self.analysis.title += content
+                        self.text_parts.append(content)
+                        self.did_word_break = False
+                        if self.inlink:
+                            self.cur_txt += content
                     continue
                 if c == 0x5D:  # ']' — MSC_MDC ties the 3-char data run
-                    end = buf.find(b"<", pos)
+                    end = find(b"<", pos)
                     if end == -1:
                         end = n
                     if end - pos == 3 and buf.startswith(b"]]>", pos):
@@ -258,6 +273,90 @@ class HtmlLexer:
                         self.pos = end
                     continue
                 # '<': dispatch on the second byte (rule prefixes partition)
+                c2 = buf[pos + 1] if pos + 1 < n else -1
+                if 65 <= c2 <= 90 or 97 <= c2 <= 122 or c2 == 95 or c2 == 58:
+                    # name-start → rule 230 '<NAME ws*' is the unique match
+                    end = _STAGO_RE.match(buf, pos).end()
+                    self.pos = end
+                    # NAME chars exclude '&', so addtoken's entity pass is a
+                    # no-op: the stored token is exactly the lowered name
+                    nm = buf[pos + 1 : end]
+                    if nm[-1] in _TRIM_TAIL:
+                        nm = _rtrim(nm, _TRIM_TAIL)
+                    low = nm.lower()
+                    if b"script".startswith(low):
+                        self.tokens.append((START, low))
+                        self.process()
+                        self.cond = SCRIPT
+                        continue
+                    tokens = self.tokens
+                    tokens.append((START, low))
+                    # most tags carry no attributes: '>' right after the name
+                    # is exactly ATTR rule 366 → t_tagc (addtoken+process)
+                    if end < n and buf[end] == 0x3E:
+                        self.pos = end + 1
+                        tokens.append((TAGC, b">"))
+                        if tokens[0] is not tokens[-2] or not self.fast:
+                            # a pending pre-START token (or an overriding
+                            # subclass) drives dispatch: generic path
+                            self.process()
+                        else:
+                            op = _STAG_OPS.get(low)
+                            if op is _WB_OP:
+                                # inline word_break (fast ⇒ base-class hooks)
+                                if self.get_text:
+                                    if self.inlink:
+                                        self.cur_txt += b" "
+                                    elif not self.did_word_break:
+                                        self.text_parts.append(b"\n")
+                                        self.did_word_break = True
+                            elif op is not None:
+                                op(self)
+                            self.tokens = []
+                    else:
+                        self.cond = ATTR
+                    continue
+                if c2 == 0x2F:  # '</'
+                    c3 = buf[pos + 2] if pos + 2 < n else -1
+                    if 65 <= c3 <= 90 or 97 <= c3 <= 122 or c3 == 95 or c3 == 58:
+                        # rule 141 '</NAME ws*' is the unique match
+                        end = _ETAGO_RE.match(buf, pos).end()
+                        self.pos = end
+                        nm = buf[pos + 2 : end]
+                        if nm[-1] in _TRIM_TAIL:
+                            nm = _rtrim(nm, _TRIM_TAIL)
+                        low = nm.lower()
+                        tokens = self.tokens
+                        tokens.append((END, low))
+                        # '>' right after → TAG rule 366 → t_tagc
+                        if end < n and buf[end] == 0x3E:
+                            self.pos = end + 1
+                            tokens.append((TAGC, b">"))
+                            if tokens[0] is not tokens[-2] or not self.fast:
+                                self.process()
+                            else:
+                                op = _CTAG_OPS.get(low)
+                                if op is _WB_OP:
+                                    if self.get_text:
+                                        if self.inlink:
+                                            self.cur_txt += b" "
+                                        elif not self.did_word_break:
+                                            self.text_parts.append(b"\n")
+                                            self.did_word_break = True
+                                elif op is not None:
+                                    op(self)
+                                self.tokens = []
+                        else:
+                            self.cond = TAG
+                        continue
+                    if c3 == 0x3E:  # '</>' — rule 190
+                        self.warn()
+                        self.pos = pos + 3
+                        continue
+                    # no rule matches: stray '<' → rule 277 one DATA char
+                    self._data(buf[pos : pos + 1])
+                    self.pos = pos + 1
+                    continue
                 subset = _INITIAL_LT.get(buf[pos + 1 : pos + 2], _INITIAL_LT_DEFAULT)
                 best_len = -1
                 best_action = None
@@ -278,13 +377,27 @@ class HtmlLexer:
                 else:
                     text = buf[pos : pos + best_consume]
                     self.pos = pos + best_consume
-                    getattr(self, best_action)(text)
+                    best_action(self, text)
                 continue
+            c = buf[pos]
+            if c == 0x3E:
+                # '>' closes the tag in every attribute condition: TAG/ATTR
+                # rule 366 → t_tagc, ATTRVAL rule 360 → v_tagc (no TAGC token)
+                if cond == ATTR or cond == TAG:
+                    self.pos = pos + 1
+                    self.tokens.append((TAGC, b">"))
+                    self.process()
+                    self.cond = INITIAL
+                    continue
+                if cond == ATTRVAL:
+                    self.pos = pos + 1
+                    self.process()
+                    self.cond = INITIAL
+                    continue
             best_len = -1
-            best_order = 0
             best_action = None
             best_consume = 0
-            for order, rx, action in _DISPATCH[cond][buf[pos]]:
+            for order, rx, action in _DISPATCH[cond][c]:
                 m = rx.match(buf, pos)
                 if m is None:
                     continue
@@ -294,7 +407,6 @@ class HtmlLexer:
                     efflen = consume + 3
                 if efflen > best_len:
                     best_len = efflen
-                    best_order = order
                     best_action = action
                     best_consume = consume
                 # equal length → earlier rule already chosen (list is ordered)
@@ -305,7 +417,7 @@ class HtmlLexer:
                 continue
             text = buf[pos : pos + best_consume]
             self.pos = pos + best_consume
-            getattr(self, best_action)(text)
+            best_action(self, text)
         # EOF: finalize() is a no-op; pending tokens dropped (html.ll:483-487)
 
     # --- token plumbing (HTML_lexer.cc:184-198) ---
@@ -715,6 +827,18 @@ def _make_tag_ops():
 
 
 _STAG_OPS, _CTAG_OPS = _make_tag_ops()
+_WB_OP = HtmlLexer.word_break
+
+# hot-path regexes for the inlined INITIAL fast paths (rules 230 and 141)
+_STAGO_RE = _R(rb"<" + _NAME + _WS)
+_ETAGO_RE = _R(rb"</" + _NAME + _WS)
+
+# bind rule actions to the class methods once — the dispatch loop calls
+# ``action(self, text)`` directly instead of a per-token getattr by name
+_RULES = {
+    cond: tuple((order, rx, getattr(HtmlLexer, name)) for (order, rx, name) in rules)
+    for cond, rules in _RULES.items()
+}
 
 # INITIAL '<'-rule dispatch by second byte (prefixes partition the rules;
 # longest-match within each subset, ties by rule order — lists are ordered)

@@ -29,6 +29,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_WGL_CONF = "spark.sql.optimizer.windowGroupLimitThreshold"
+
+
+def _ensure_window_group_limit(df: DataFrame, limit: int) -> None:
+    """Raise the WindowGroupLimit pushdown threshold to cover ``limit``.
+
+    The pushdown turns `row_number()<=k` filters into map-side per-group
+    top-k pruning; its memory cost is bounded by `limit` rows per group
+    per task, so raising the threshold to the politeness budget is safe
+    at any scale (it is NOT a cluster-size-dependent tunable)."""
+    try:
+        spark = df.sparkSession
+        if int(spark.conf.get(_WGL_CONF, "1000")) <= limit:
+            spark.conf.set(_WGL_CONF, str(max(limit + 1, 8192)))
+    except Exception:
+        pass  # pre-3.5 Spark: no such conf, plans stay correct
+
 
 def politeness_schedule(
     frontier: DataFrame,
@@ -58,7 +75,18 @@ def politeness_schedule(
     """
     budget = F.col(budget_col) if budget_col else F.lit(per_host_budget)
     drop_cols = ["host_pos"] + ([budget_col] if budget_col else [])
-    if salt <= 1:
+    # A literal rank cut (`row_number() <= B`) is eligible for Spark's
+    # WindowGroupLimit pushdown, which prunes each MAP partition to its
+    # per-host top-B BEFORE the window exchange — the skew cut the salted
+    # phase-1 window was built for, but map-side and without a second
+    # shuffle of the frontier. The rule only fires when the limit is under
+    # spark.sql.optimizer.windowGroupLimitThreshold (default 1000 < real
+    # politeness budgets), so raise it to cover the budget: per-task state
+    # stays bounded at `limit` rows per group at any scale. The salted
+    # two-phase plan (below) remains for per-host budget columns, where
+    # the cut is not a literal and the pushdown cannot apply.
+    _ensure_window_group_limit(frontier, per_host_budget)
+    if salt <= 1 or budget_col is None:
         w = Window.partitionBy(host_col).orderBy(seq_col)
         ranked = frontier.withColumn("host_pos", F.row_number().over(w))
         scheduled = ranked.filter(F.col("host_pos") <= budget)
