@@ -71,6 +71,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_total = None
     for _ in range(max_iter):
         nbr_min = (
             e.join(a.withColumnRenamed("node", "src"), "src")
@@ -93,18 +94,25 @@ def connected_components(
                 "left",
             )
             .select("node", F.coalesce("_comp2", F.col("comp")).alias("comp"))
-            # lazy: the convergence count below materializes it, so each
+            # lazy: the convergence probe below materializes it, so each
             # iteration costs ONE Spark job, not two
             .localCheckpoint(eager=False)
         )
-        n_changed = (
-            jumped.join(a.withColumnRenamed("comp", "_comp_old"), "node")
-            .filter(F.col("comp") != F.col("_comp_old"))
-            .count()
-        )
+        # convergence: labels are per-node NON-INCREASING (least() of the
+        # own label and neighbor minima, then a jump to the label's own,
+        # never-larger label), so the label total is strictly decreasing
+        # until the fixpoint — an aggregate-only probe replaces the old
+        # jumped⋈a count join (one fewer shuffle per iteration). DECIMAL
+        # keeps the total exact at any node-id magnitude.
+        total = jumped.agg(
+            F.coalesce(
+                F.sum(F.col("comp").cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+            ).alias("t")
+        ).collect()[0]["t"]
         a = jumped
-        if n_changed == 0:
+        if prev_total is not None and total == prev_total:
             break
+        prev_total = total
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
     return a.select(

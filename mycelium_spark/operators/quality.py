@@ -616,7 +616,11 @@ def clean_gate(
         .localCheckpoint(eager=False)
     )
     rep_keep = repetition_filter(base, text_col, id_col).filter("keep").select(id_col)
-    return base.join(rep_keep, id_col)
+    # checkpoint the OUTPUT too: consumers reference the survivor set
+    # several times (decontamination touches it twice, the span stage
+    # once) and without truncation each reference re-runs the nine
+    # n-gram towers — ~3x the gate's cost for identical rows
+    return base.join(rep_keep, id_col).localCheckpoint(eager=False)
 
 
 # ------------------------------------------------ C4-style filters --------

@@ -805,7 +805,12 @@ def clean_corpus_q(spark, sf_dir):
         .filter("keep")
         .select("doc_id")
     )
-    kept = base.join(dk, "doc_id")
+    # span removal references its input several times (shingle df pass +
+    # rebuild join); without truncation the whole gate tower is replicated
+    # per reference (~1900-operator plan, 312 scans — seconds of driver
+    # planning alone). The survivor set is tiny, so checkpoint it (guide
+    # §3.3/§7.3: materialise intermediates to cut planning cost).
+    kept = base.join(dk, "doc_id").localCheckpoint(eager=False)
     cleaned = dedup.remove_repeated_spans(kept, 5, 2)
     hashed = cleaned.select(
         "doc_id", F.md5(F.col("clean_text").cast("binary")).alias("clean_md5")
