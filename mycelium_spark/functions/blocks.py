@@ -44,19 +44,17 @@ BLOCK_TAGS = frozenset(
 class _BlockLexer(HtmlLexer):
     __slots__ = ("blocks", "_parts", "_link_chars")
 
+    # declarative flush hook: the base lexer (and its inlined fast
+    # dispatch paths) calls flush_block() whenever a flushed batch starts
+    # with a START/END of a block tag — identical to the former process()
+    # override, but keeps the fast paths enabled for segmentation
+    flush_tags = BLOCK_TAGS
+
     def __init__(self, buf: bytes, base: Url | None):
         super().__init__(buf, base)
         self.blocks: list[tuple[bytes, int]] = []
         self._parts: list[bytes] = []
         self._link_chars = 0
-
-    def process(self) -> None:
-        toks = self.tokens
-        if toks:
-            ttype, content = toks[0]
-            if (ttype == START or ttype == END) and content in BLOCK_TAGS:
-                self.flush_block()
-        super().process()
 
     def text_add(self, text: bytes) -> None:
         super().text_add(text)

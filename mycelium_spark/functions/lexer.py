@@ -202,12 +202,23 @@ class ProcHTML:
 
 
 class HtmlLexer:
-    """One-shot scanner; construct and call :meth:`run`."""
+    """One-shot scanner; construct and call :meth:`run`.
+
+    Subclass hooks: ``flush_tags`` (a frozenset of tag names) makes
+    :meth:`process` call :meth:`flush_block` before dispatch whenever the
+    flushed batch starts with a START/END of one of those tags — the
+    declarative form of overriding process(), and the fast dispatch paths
+    honor it; overriding ``text_add``/``text_word_break`` disables only
+    the word-break/data micro-inlines, not the fast paths themselves.
+    """
+
+    flush_tags: frozenset | None = None
 
     __slots__ = (
         "buf", "pos", "cond", "tokens", "text_parts", "links", "warnings",
         "analysis", "base_url", "get_text", "get_title", "inlink",
         "link_nofollow", "did_word_break", "cur_url", "cur_txt", "fast",
+        "plain",
     )
 
     def __init__(self, buf: bytes, base_url: Url | None):
@@ -229,8 +240,16 @@ class HtmlLexer:
         self.cur_url = b""
         self.cur_txt = b""
         # inlined-dispatch fast paths are only sound when process() is
-        # not overridden (the block segmenter subclass hooks it)
-        self.fast = type(self).process is HtmlLexer.process
+        # not overridden (subclasses use the flush_tags hook instead);
+        # the data/word-break micro-inlines additionally need the base
+        # text emission methods
+        cls = type(self)
+        self.fast = cls.process is HtmlLexer.process
+        self.plain = (
+            cls.text_add is HtmlLexer.text_add
+            and cls.text_word_break is HtmlLexer.text_word_break
+            and cls.link_text_add is HtmlLexer.link_text_add
+        )
 
     # --- main loop ---
     def run(self) -> None:
@@ -254,12 +273,17 @@ class HtmlLexer:
                         self._data(buf[pos:end])
                     elif self.get_text:
                         content = replace_all_entities(buf[pos:end])
-                        if self.get_title:
-                            self.analysis.title += content
-                        self.text_parts.append(content)
-                        self.did_word_break = False
-                        if self.inlink:
-                            self.cur_txt += content
+                        if self.plain:
+                            if self.get_title:
+                                self.analysis.title += content
+                            self.text_parts.append(content)
+                            self.did_word_break = False
+                            if self.inlink:
+                                self.cur_txt += content
+                        elif self.inlink:
+                            self.link_text_add(content)
+                        else:
+                            self.text_add(content)
                     continue
                 if c == 0x5D:  # ']' — MSC_MDC ties the 3-char data run
                     end = find(b"<", pos)
@@ -301,15 +325,21 @@ class HtmlLexer:
                             # subclass) drives dispatch: generic path
                             self.process()
                         else:
+                            ft = self.flush_tags
+                            if ft is not None and low in ft:
+                                self.flush_block()
                             op = _STAG_OPS.get(low)
                             if op is _WB_OP:
-                                # inline word_break (fast ⇒ base-class hooks)
+                                # inline word_break (plain ⇒ base hooks)
                                 if self.get_text:
                                     if self.inlink:
                                         self.cur_txt += b" "
-                                    elif not self.did_word_break:
-                                        self.text_parts.append(b"\n")
-                                        self.did_word_break = True
+                                    elif self.plain:
+                                        if not self.did_word_break:
+                                            self.text_parts.append(b"\n")
+                                            self.did_word_break = True
+                                    else:
+                                        self.text_word_break()
                             elif op is not None:
                                 op(self)
                             self.tokens = []
@@ -335,14 +365,20 @@ class HtmlLexer:
                             if tokens[0] is not tokens[-2] or not self.fast:
                                 self.process()
                             else:
+                                ft = self.flush_tags
+                                if ft is not None and low in ft:
+                                    self.flush_block()
                                 op = _CTAG_OPS.get(low)
                                 if op is _WB_OP:
                                     if self.get_text:
                                         if self.inlink:
                                             self.cur_txt += b" "
-                                        elif not self.did_word_break:
-                                            self.text_parts.append(b"\n")
-                                            self.did_word_break = True
+                                        elif self.plain:
+                                            if not self.did_word_break:
+                                                self.text_parts.append(b"\n")
+                                                self.did_word_break = True
+                                        else:
+                                            self.text_word_break()
                                 elif op is not None:
                                     op(self)
                                 self.tokens = []
@@ -579,6 +615,9 @@ class HtmlLexer:
         if not tokens:
             return
         ttype, content = tokens[0]
+        ft = self.flush_tags
+        if ft is not None and (ttype == START or ttype == END) and content in ft:
+            self.flush_block()
         if ttype == START:
             op = _STAG_OPS.get(content)
             if op is not None:
@@ -594,6 +633,9 @@ class HtmlLexer:
                 else:
                     self.text_add(content)
         self.tokens = []
+
+    def flush_block(self) -> None:  # pragma: no cover - flush_tags hook
+        raise NotImplementedError("flush_tags set without flush_block")
 
     # --- text/link emission (HTML_lexer.cc:244-327) ---
     def text_add(self, text: bytes) -> None:

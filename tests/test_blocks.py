@@ -102,3 +102,17 @@ def test_reconstruction_invariant_over_synth_corpus():
         # link accounting never exceeds the block's raw text mass
         for _, t, lc in blocks:
             assert 0 <= lc <= max(len(t) + 64, 64), (pid, t, lc)
+
+
+def test_block_lexer_keeps_fast_dispatch():
+    """The segmenter hooks the base lexer via flush_tags (not a process()
+    override), so the inlined fast dispatch paths stay enabled for the
+    boilerplate pipeline; the text micro-inlines are correctly disabled
+    because the subclass overrides text emission."""
+    from mycelium_spark.functions.blocks import _BlockLexer
+    from mycelium_spark.functions.lexer import HtmlLexer
+
+    lx = _BlockLexer(b"<p>x</p>", None)
+    assert lx.fast is True
+    assert lx.plain is False
+    assert HtmlLexer(b"<p>x</p>", None).plain is True
