@@ -59,7 +59,24 @@ from ..sources import sitemap, warc
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # The fixture tables are single-row-group parquet files, so the scan
+    # is ONE task no matter the core count and every per-row stage above
+    # it (shingling, hashing, lexing) runs serially. Fan small inputs out
+    # to the session's parallelism — the exchange moves at most one scan
+    # split's worth of bytes. Size-gated: a corpus big enough to split
+    # naturally (≥ maxPartitionBytes) is left untouched, so no shuffle is
+    # ever added at real scale (guide §2.5, input parallelism).
+    import os as _os
+
+    try:
+        small = _os.path.getsize(path) < (64 << 20)  # half a default split
+    except OSError:
+        small = False  # non-local path (object store): keep the scan split
+    if small:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _dsum(col):

