@@ -95,6 +95,9 @@ def build_ivf_index(
 
     (
         emb.mapInPandas(assign, out_schema)
+        # cluster by list before the write: one writer task per list, not
+        # (input partitions x lists) tiny files (guide §6)
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)

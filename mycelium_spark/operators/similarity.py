@@ -191,6 +191,10 @@ def build_ann_index(
     planes = hyperplanes(n_planes, dim)
     (
         emb.withColumn("bucket", F.expr(bucket_expr(vec_col, planes)))
+        # cluster by the partition key before the write (the Iceberg
+        # hash distribution-mode practice, guide §6): one writer task per
+        # bucket instead of (input partitions x buckets) tiny files
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
