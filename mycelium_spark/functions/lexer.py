@@ -34,6 +34,8 @@ import re
 from dataclasses import dataclass, field
 
 from .entities import replace_all_entities
+from .url import DOTSEG_RE as _URL_DOTSEG
+from .url import NORMALIZED_ABS_RE as _URL_CANON
 from .url import BadUrl, Url
 
 # --- token types (HTML_lexer.hh:140-151) ---
@@ -662,6 +664,12 @@ class HtmlLexer:
 
     def link_add(self, link: bytes) -> None:
         if self.base_url is not None:
+            # canonical-form screen (same invariant as the vectorized URL
+            # normalizer's fast path): a match is absolute and
+            # normalize()-invariant, so Url(link).normalize().get() == link
+            if _URL_CANON.fullmatch(link) is not None and _URL_DOTSEG.search(link) is None:
+                self.cur_url = link
+                return
             try:
                 url = Url(link)
                 url.normalize()

@@ -33,15 +33,11 @@ from .url import BadUrl, Url
 #   - non-empty absolute path of segments made of bytes that escape(PATH)
 #     leaves alone, with no '%', no empty segments, no '.'/'..' segments;
 #   - optional query/fragment of pass-through bytes without '%'.
-_SEG = r"[A-Za-z0-9!$&'()*+,.\-:;=@_~]+"
-_FAST_RE = (
-    r"https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(?::[1-9][0-9]{0,3})?"
-    r"(?:/(?:" + _SEG + r"/)*(?:" + _SEG + r")?)"
-    r"(?:\?[A-Za-z0-9!$&'()*+,.\-/:;=?@_~]*)?"
-    r"(?:#[A-Za-z0-9!$&'()*+,.\-/:;=?@#_~]*)?"
-)
+from .url import FAST_DOTSEG_RE_STR, FAST_NORMALIZED_RE_STR
+
+_FAST_RE = FAST_NORMALIZED_RE_STR
 _FAST_COMPILED = re.compile(_FAST_RE)
-_DOTSEG = re.compile(r"/\.{1,2}(?:/|$|\?|#)")
+_DOTSEG = re.compile(FAST_DOTSEG_RE_STR)
 
 
 def normalize_url_series(urls: pd.Series) -> pd.Series:

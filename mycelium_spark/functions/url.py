@@ -689,6 +689,27 @@ class Url:
         return f"Url({self.to_string()!r})"
 
 
+# --- canonical-form fast screen -------------------------------------------
+# A URL matching this pattern is guaranteed normalize()-invariant AND
+# absolute (scheme present): lowercase http/https scheme, lowercase
+# reg-name host (alnum start/end), optional port; non-empty absolute path
+# of segments made of bytes that escape(PATH) leaves alone, with no '%',
+# no empty segments; optional query/fragment of pass-through bytes
+# without '%'. A separate dot-segment screen excludes '.'/'..' segments.
+# Shared by udfs.normalize_url_series (string form) and the lexer's link
+# resolution (bytes form) so the two fast paths cannot drift apart.
+_FAST_SEG = r"[A-Za-z0-9!$&'()*+,.\-:;=@_~]+"
+FAST_NORMALIZED_RE_STR = (
+    r"https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(?::[1-9][0-9]{0,3})?"
+    r"(?:/(?:" + _FAST_SEG + r"/)*(?:" + _FAST_SEG + r")?)"
+    r"(?:\?[A-Za-z0-9!$&'()*+,.\-/:;=?@_~]*)?"
+    r"(?:#[A-Za-z0-9!$&'()*+,.\-/:;=?@#_~]*)?"
+)
+FAST_DOTSEG_RE_STR = r"/\.{1,2}(?:/|$|\?|#)"
+NORMALIZED_ABS_RE = re.compile(FAST_NORMALIZED_RE_STR.encode("ascii"))
+DOTSEG_RE = re.compile(FAST_DOTSEG_RE_STR.encode("ascii"))
+
+
 def valid_host(h: str | bytes) -> bool:
     """Url.cc:169-193."""
     b = _as_bytes(h)
