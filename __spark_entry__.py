@@ -57,6 +57,12 @@ def _tune_session(spark: SparkSession) -> None:
     for conf, default in (
         ("spark.sql.join.preferSortMergeJoin", "false"),
         ("spark.sql.optimizer.windowGroupLimitThreshold", "8192"),
+        # AQE may rewrite a planned sort-merge join to shuffled-hash at
+        # runtime when EVERY post-shuffle partition's build side is under
+        # this many bytes (default 0 = never) — skips both sort passes.
+        # Self-guarding at scale: bigger-than-threshold partitions keep
+        # sort-merge, so memory stays bounded by the threshold itself.
+        ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "67108864"),
     ):
         key = "SPARK_GRAFT_" + conf.rsplit(".", 1)[-1].upper()
         try:
