@@ -159,6 +159,11 @@ def replace_all_entities(b: bytes) -> bytes:
     if _AMP not in b:
         return b
     b = replace_char_entities(b)
+    # the numeric passes only ever match '&#...;' — impossible without a
+    # '#', and no named entity expands to one (checked over the table),
+    # so a '#'-free result cannot gain matches from them
+    if b"#" not in b:
+        return b
     b = replace_dec_numchar_ref(b)
     b = replace_hex_numchar_ref(b)
     return b
