@@ -51,8 +51,14 @@ def url_of(page_id: int) -> str:
     return f"http://{host_of(page_id)}/d{page_id % 7}/p{page_id}.html"
 
 
+_WORDS2 = _WORDS + _WORDS  # circular-slice backing (len(_WORDS) > any n)
+
+
 def _sentence(page_id: int, k: int, n: int = 6) -> str:
-    return " ".join(_WORDS[(page_id * 13 + k * 7 + j) % len(_WORDS)] for j in range(n))
+    # indices (base + j) % L for consecutive j are a circular run: one
+    # slice of the doubled list replaces n modular lookups
+    start = (page_id * 13 + k * 7) % len(_WORDS)
+    return " ".join(_WORDS2[start : start + n])
 
 
 def page_html(page_id: int, n_pages: int, extra_paras: int = 0) -> bytes:
