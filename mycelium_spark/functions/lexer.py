@@ -315,36 +315,39 @@ class HtmlLexer:
                         self.process()
                         self.cond = SCRIPT
                         continue
-                    tokens = self.tokens
-                    tokens.append((START, low))
                     # most tags carry no attributes: '>' right after the name
-                    # is exactly ATTR rule 366 → t_tagc (addtoken+process)
-                    if end < n and buf[end] == 0x3E:
+                    # is exactly ATTR rule 366 → t_tagc (addtoken+process).
+                    # With no pending token, NO tag op reads the token list
+                    # for an attribute-less tag (the ATTRNAME scans and
+                    # tag_map see zero attributes either way), so the
+                    # [START, TAGC] batch need not be built at all.
+                    if end < n and buf[end] == 0x3E and self.fast and not self.tokens:
                         self.pos = end + 1
-                        tokens.append((TAGC, b">"))
-                        if tokens[0] is not tokens[-2] or not self.fast:
-                            # a pending pre-START token (or an overriding
-                            # subclass) drives dispatch: generic path
-                            self.process()
-                        else:
-                            ft = self.flush_tags
-                            if ft is not None and low in ft:
-                                self.flush_block()
-                            op = _STAG_OPS.get(low)
-                            if op is _WB_OP:
-                                # inline word_break (plain ⇒ base hooks)
-                                if self.get_text:
-                                    if self.inlink:
-                                        self.cur_txt += b" "
-                                    elif self.plain:
-                                        if not self.did_word_break:
-                                            self.text_parts.append(b"\n")
-                                            self.did_word_break = True
-                                    else:
-                                        self.text_word_break()
-                            elif op is not None:
-                                op(self)
-                            self.tokens = []
+                        ft = self.flush_tags
+                        if ft is not None and low in ft:
+                            self.flush_block()
+                        op = _STAG_OPS.get(low)
+                        if op is _WB_OP:
+                            # inline word_break (plain ⇒ base hooks)
+                            if self.get_text:
+                                if self.inlink:
+                                    self.cur_txt += b" "
+                                elif self.plain:
+                                    if not self.did_word_break:
+                                        self.text_parts.append(b"\n")
+                                        self.did_word_break = True
+                                else:
+                                    self.text_word_break()
+                        elif op is not None:
+                            op(self)
+                        continue
+                    self.tokens.append((START, low))
+                    if end < n and buf[end] == 0x3E:
+                        # pending pre-START token (or an overriding
+                        # subclass) drives dispatch: generic path
+                        self.pos = end + 1
+                        self.tokens.append((TAGC, b">"))
+                        self.process()
                     else:
                         self.cond = ATTR
                     continue
@@ -358,32 +361,33 @@ class HtmlLexer:
                         if nm[-1] in _TRIM_TAIL:
                             nm = _rtrim(nm, _TRIM_TAIL)
                         low = nm.lower()
-                        tokens = self.tokens
-                        tokens.append((END, low))
-                        # '>' right after → TAG rule 366 → t_tagc
+                        # '>' right after → TAG rule 366 → t_tagc; close
+                        # ops never read the token list, so skip building
+                        # the [END, TAGC] batch when nothing is pending
+                        if end < n and buf[end] == 0x3E and self.fast and not self.tokens:
+                            self.pos = end + 1
+                            ft = self.flush_tags
+                            if ft is not None and low in ft:
+                                self.flush_block()
+                            op = _CTAG_OPS.get(low)
+                            if op is _WB_OP:
+                                if self.get_text:
+                                    if self.inlink:
+                                        self.cur_txt += b" "
+                                    elif self.plain:
+                                        if not self.did_word_break:
+                                            self.text_parts.append(b"\n")
+                                            self.did_word_break = True
+                                    else:
+                                        self.text_word_break()
+                            elif op is not None:
+                                op(self)
+                            continue
+                        self.tokens.append((END, low))
                         if end < n and buf[end] == 0x3E:
                             self.pos = end + 1
-                            tokens.append((TAGC, b">"))
-                            if tokens[0] is not tokens[-2] or not self.fast:
-                                self.process()
-                            else:
-                                ft = self.flush_tags
-                                if ft is not None and low in ft:
-                                    self.flush_block()
-                                op = _CTAG_OPS.get(low)
-                                if op is _WB_OP:
-                                    if self.get_text:
-                                        if self.inlink:
-                                            self.cur_txt += b" "
-                                        elif self.plain:
-                                            if not self.did_word_break:
-                                                self.text_parts.append(b"\n")
-                                                self.did_word_break = True
-                                        else:
-                                            self.text_word_break()
-                                elif op is not None:
-                                    op(self)
-                                self.tokens = []
+                            self.tokens.append((TAGC, b">"))
+                            self.process()
                         else:
                             self.cond = TAG
                         continue
