@@ -255,26 +255,31 @@ class HtmlLexer:
 
     # --- main loop ---
     def run(self) -> None:
+        # ``pos``/``cond`` live in locals for the whole scan: no tag op,
+        # process(), or text hook touches self.pos/self.cond (only the
+        # generic rule ACTIONS do), so state syncs to the instance only
+        # around generic-action calls and at EOF.
         buf = self.buf
         n = len(buf)
         find = buf.find
-        while self.pos < n:
-            pos = self.pos
-            cond = self.cond
+        pos = self.pos
+        cond = self.cond
+        while pos < n:
             if cond == INITIAL:
                 c = buf[pos]
                 if c != 0x3C and c != 0x5D:  # not '<' nor ']' → data fast path
                     end = find(b"<", pos)
                     if end == -1:
                         end = n
-                    self.pos = end
+                    raw = buf[pos:end]
+                    pos = end
                     # inline _data+process for the common no-pending-token
                     # case (a queued token — e.g. the </script> END — must
                     # keep driving dispatch, so fall back when one exists)
                     if self.tokens or not self.fast:
-                        self._data(buf[pos:end])
+                        self._data(raw)
                     elif self.get_text:
-                        content = replace_all_entities(buf[pos:end])
+                        content = replace_all_entities(raw)
                         if self.plain:
                             if self.get_title:
                                 self.analysis.title += content
@@ -293,27 +298,27 @@ class HtmlLexer:
                         end = n
                     if end - pos == 3 and buf.startswith(b"]]>", pos):
                         self.warn()  # unmatched marked section end (html.ll:220)
-                        self.pos = pos + 3
+                        pos = pos + 3
                     else:
                         self._data(buf[pos:end])
-                        self.pos = end
+                        pos = end
                     continue
                 # '<': dispatch on the second byte (rule prefixes partition)
                 c2 = buf[pos + 1] if pos + 1 < n else -1
                 if 65 <= c2 <= 90 or 97 <= c2 <= 122 or c2 == 95 or c2 == 58:
                     # name-start → rule 230 '<NAME ws*' is the unique match
                     end = _STAGO_RE.match(buf, pos).end()
-                    self.pos = end
                     # NAME chars exclude '&', so addtoken's entity pass is a
                     # no-op: the stored token is exactly the lowered name
                     nm = buf[pos + 1 : end]
                     if nm[-1] in _TRIM_TAIL:
                         nm = _rtrim(nm, _TRIM_TAIL)
                     low = nm.lower()
+                    pos = end
                     if b"script".startswith(low):
                         self.tokens.append((START, low))
                         self.process()
-                        self.cond = SCRIPT
+                        cond = SCRIPT
                         continue
                     # most tags carry no attributes: '>' right after the name
                     # is exactly ATTR rule 366 → t_tagc (addtoken+process).
@@ -322,7 +327,7 @@ class HtmlLexer:
                     # tag_map see zero attributes either way), so the
                     # [START, TAGC] batch need not be built at all.
                     if end < n and buf[end] == 0x3E and self.fast and not self.tokens:
-                        self.pos = end + 1
+                        pos = end + 1
                         ft = self.flush_tags
                         if ft is not None and low in ft:
                             self.flush_block()
@@ -345,27 +350,27 @@ class HtmlLexer:
                     if end < n and buf[end] == 0x3E:
                         # pending pre-START token (or an overriding
                         # subclass) drives dispatch: generic path
-                        self.pos = end + 1
+                        pos = end + 1
                         self.tokens.append((TAGC, b">"))
                         self.process()
                     else:
-                        self.cond = ATTR
+                        cond = ATTR
                     continue
                 if c2 == 0x2F:  # '</'
                     c3 = buf[pos + 2] if pos + 2 < n else -1
                     if 65 <= c3 <= 90 or 97 <= c3 <= 122 or c3 == 95 or c3 == 58:
                         # rule 141 '</NAME ws*' is the unique match
                         end = _ETAGO_RE.match(buf, pos).end()
-                        self.pos = end
                         nm = buf[pos + 2 : end]
                         if nm[-1] in _TRIM_TAIL:
                             nm = _rtrim(nm, _TRIM_TAIL)
                         low = nm.lower()
+                        pos = end
                         # '>' right after → TAG rule 366 → t_tagc; close
                         # ops never read the token list, so skip building
                         # the [END, TAGC] batch when nothing is pending
                         if end < n and buf[end] == 0x3E and self.fast and not self.tokens:
-                            self.pos = end + 1
+                            pos = end + 1
                             ft = self.flush_tags
                             if ft is not None and low in ft:
                                 self.flush_block()
@@ -385,19 +390,19 @@ class HtmlLexer:
                             continue
                         self.tokens.append((END, low))
                         if end < n and buf[end] == 0x3E:
-                            self.pos = end + 1
+                            pos = end + 1
                             self.tokens.append((TAGC, b">"))
                             self.process()
                         else:
-                            self.cond = TAG
+                            cond = TAG
                         continue
                     if c3 == 0x3E:  # '</>' — rule 190
                         self.warn()
-                        self.pos = pos + 3
+                        pos = pos + 3
                         continue
                     # no rule matches: stray '<' → rule 277 one DATA char
                     self._data(buf[pos : pos + 1])
-                    self.pos = pos + 1
+                    pos = pos + 1
                     continue
                 subset = _INITIAL_LT.get(buf[pos + 1 : pos + 2], _INITIAL_LT_DEFAULT)
                 best_len = -1
@@ -415,26 +420,29 @@ class HtmlLexer:
                 if best_action is None:
                     # stray '<': rule 277's '.' alternative → one DATA char
                     self._data(buf[pos : pos + 1])
-                    self.pos = pos + 1
+                    pos = pos + 1
                 else:
                     text = buf[pos : pos + best_consume]
                     self.pos = pos + best_consume
+                    self.cond = cond
                     best_action(self, text)
+                    pos = self.pos
+                    cond = self.cond
                 continue
             c = buf[pos]
             if c == 0x3E:
                 # '>' closes the tag in every attribute condition: TAG/ATTR
                 # rule 366 → t_tagc, ATTRVAL rule 360 → v_tagc (no TAGC token)
                 if cond == ATTR or cond == TAG:
-                    self.pos = pos + 1
+                    pos = pos + 1
                     self.tokens.append((TAGC, b">"))
                     self.process()
-                    self.cond = INITIAL
+                    cond = INITIAL
                     continue
                 if cond == ATTRVAL:
-                    self.pos = pos + 1
+                    pos = pos + 1
                     self.process()
-                    self.cond = INITIAL
+                    cond = INITIAL
                     continue
             best_len = -1
             best_action = None
@@ -455,11 +463,16 @@ class HtmlLexer:
             if best_action is None:
                 # flex default rule: echo char (never reached — [^\n] + [\n\r]+
                 # cover everything); skip defensively
-                self.pos += 1
+                pos += 1
                 continue
             text = buf[pos : pos + best_consume]
             self.pos = pos + best_consume
+            self.cond = cond
             best_action(self, text)
+            pos = self.pos
+            cond = self.cond
+        self.pos = pos
+        self.cond = cond
         # EOF: finalize() is a no-op; pending tokens dropped (html.ll:483-487)
 
     # --- token plumbing (HTML_lexer.cc:184-198) ---
