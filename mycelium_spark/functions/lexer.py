@@ -1047,6 +1047,10 @@ def html_lex(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:
     Mirrors the reference's Python export ``common.html_lex``
     (HTML_lexer.cc:835-855). ``base_url`` empty → links pass through
     unresolved; non-empty → must parse as an absolute URL (else ValueError).
+
+    Runs the C port of this scanner (clex.c, loaded via clexer.py) when it
+    is available — byte parity with the Python kernel below is pinned by
+    tests/test_clexer.py — and falls back to the Python kernel otherwise.
     """
     if isinstance(html, str):
         html = html.encode("utf-8")
@@ -1057,6 +1061,28 @@ def html_lex(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:
         base = Url(base_url)  # raises on parse error, like the C++ ctor
         if not base.absolute():
             raise ValueError(f"base_url: {base_url!r} is not absolute")
+    from . import clexer
+
+    kernel = clexer.get()
+    if kernel is not None:
+        out = kernel.run(html, base)
+        if out is not None:
+            text, title, charset, rss, rss2, atom, idx, fol, warn, links = out
+            result = ProcHTML()
+            result.base_url = base_url
+            result.text = text
+            result.links = links
+            result.warnings = warn
+            result.analysis = Analysis(
+                title=title, rss2=rss2, rss=rss, atom=atom,
+                charset=charset, index=idx, follow=fol,
+            )
+            return result
+    return _html_lex_py(html, base_url, base)
+
+
+def _html_lex_py(html: bytes, base_url: bytes, base: Url | None) -> ProcHTML:
+    """The pure-Python kernel (canonical spec for the C port)."""
     lexer = HtmlLexer(html, base)
     lexer.run()
     result = ProcHTML()
@@ -1066,3 +1092,17 @@ def html_lex(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:
     result.warnings = lexer.warnings
     result.analysis = lexer.analysis
     return result
+
+
+def html_lex_py(html: bytes | str, base_url: bytes | str = b"") -> ProcHTML:
+    """Force the pure-Python kernel (differential-test entry point)."""
+    if isinstance(html, str):
+        html = html.encode("utf-8")
+    if isinstance(base_url, str):
+        base_url = base_url.encode("utf-8")
+    base: Url | None = None
+    if base_url:
+        base = Url(base_url)
+        if not base.absolute():
+            raise ValueError(f"base_url: {base_url!r} is not absolute")
+    return _html_lex_py(html, base_url, base)
