@@ -10,8 +10,6 @@ numpy uint8 array (for vectorized batch kernels).
 
 from __future__ import annotations
 
-import numpy as np
-
 URL_CHAR_RESERVED = 0x1
 URL_CHAR_UNSAFE = 0x2
 URL_CHAR_ESC = 0x4
@@ -60,7 +58,19 @@ URL_CHAR_TABLE: list[int] = [
 
 assert len(URL_CHAR_TABLE) == 256
 
-URL_CHAR_TABLE_NP = np.asarray(URL_CHAR_TABLE, dtype=np.uint8)
+
+def __getattr__(name: str):
+    # numpy costs ~0.1 s of cold import; every fresh python worker and
+    # multiprocessing pool process pays it, so build the vectorized table
+    # only when a batch kernel first asks for it.
+    if name == "URL_CHAR_TABLE_NP":
+        import numpy as np
+
+        table = np.asarray(URL_CHAR_TABLE, dtype=np.uint8)
+        globals()[name] = table
+        return table
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 _HEX_UPPER = b"0123456789ABCDEF"
 

@@ -59,6 +59,24 @@ from ..sources import sitemap, warc
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Constructing a fresh parquet relation costs ~80 ms of driver work
+    # (file listing + footer/schema read + analysis) and the 87-query
+    # suite calls _read 100+ times, so memoize the analyzed DataFrame on
+    # the session object itself (lifetime-correct: a stopped session
+    # takes its cache with it). Plans are immutable — reuse is free; the
+    # DATA is still scanned from parquet on every action, nothing is
+    # persisted (no .cache()).
+    cache = getattr(spark, "_mycelium_read_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._mycelium_read_cache = cache
+        except Exception:
+            pass
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     # The fixture tables are single-row-group parquet files, so the scan
@@ -76,6 +94,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         small = False  # non-local path (object store): keep the scan split
     if small:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    cache[key] = df
     return df
 
 

@@ -24,9 +24,12 @@ Host distribution is Zipf-ish with one hot host holding ~30% of URLs
 from __future__ import annotations
 
 import datetime
-from typing import Iterator
+from typing import TYPE_CHECKING, Iterator
 
-import pandas as pd
+if TYPE_CHECKING:  # pandas costs ~0.3 s of cold import; the scalar
+    import pandas as pd  # generators (page_html, the envelope kernel) never
+
+    # need it, so it loads lazily inside the frame builders below.
 
 from ..functions.lexer import html_lex
 
@@ -168,7 +171,9 @@ def page_row(
 
 def pages_pdf(
     page_ids, n_pages: int, extra_paras: int = 0, with_redirects: bool = False
-) -> pd.DataFrame:
+) -> "pd.DataFrame":
+    import pandas as pd
+
     return pd.DataFrame(
         [page_row(int(i), n_pages, extra_paras, with_redirects) for i in page_ids]
     )
